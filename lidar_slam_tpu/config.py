@@ -1,0 +1,162 @@
+"""Typed configuration for the TPU-native LiDAR SLAM framework.
+
+The reference hardcodes its physical constants across modules
+(reference: modules/localization.py:9-13, modules/localization.py:297-298,
+modules/ogm.py:165, main.py:217-232, modules/texture_mapping.py:144-163).
+Here they live in frozen dataclasses with identical default values, so every
+stage reads from one typed source of truth while preserving reference
+semantics bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotConfig:
+    """Differential-drive platform constants (reference: modules/localization.py:9-13,
+    docs/RobotConfiguration.pdf)."""
+
+    wheel_diameter: float = 0.254
+    ticks_per_rev: int = 360
+    dist_per_tick: float = 0.0022  # meters per encoder tick
+    encoder_freq: float = 40.0  # Hz
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.encoder_freq
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """Hokuyo scan geometry (reference: modules/localization.py:273-278,297-298)."""
+
+    n_rays: int = 1081
+    angle_min_deg: float = -135.0
+    angle_max_deg: float = 135.0
+    # Lidar -> robot extrinsic: translation only, R = I
+    # (reference: modules/localization.py:297-302, duplicated modules/ogm.py:165).
+    p_rl: Tuple[float, float, float] = (0.13323, 0.0, 0.51435)
+
+    @property
+    def angle_min(self) -> float:
+        return math.radians(self.angle_min_deg)
+
+    @property
+    def angle_max(self) -> float:
+        return math.radians(self.angle_max_deg)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Occupancy grid geometry (reference: modules/ogm.py:7-43, main.py:27-29,198-202)."""
+
+    resolution: float = 0.05
+    world_max_x: float = 30.0
+    world_max_y: float = 30.0
+    world_min_x: float = -30.0
+    world_min_y: float = -30.0
+    buffer: float = 1.0
+    logodds_clip: float = 20.0  # reference: modules/ogm.py:188
+
+    @property
+    def logodds_ratio(self) -> float:
+        # reference: modules/ogm.py:43
+        return math.log(4.0)
+
+    @property
+    def width(self) -> int:
+        # reference: modules/ogm.py:37
+        return int(math.ceil((self.world_max_x - self.world_min_x) / self.resolution + self.buffer))
+
+    @property
+    def height(self) -> int:
+        # reference: modules/ogm.py:38
+        return int(math.ceil((self.world_max_y - self.world_min_y) / self.resolution + self.buffer))
+
+    @staticmethod
+    def from_cli(res: float, width: float, height: float) -> "MapConfig":
+        # reference: main.py:198-202 (width/height flags are full extents, centered)
+        return MapConfig(
+            resolution=res,
+            world_max_x=width / 2.0,
+            world_min_x=-width / 2.0,
+            world_max_y=height / 2.0,
+            world_min_y=-height / 2.0,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Kinect intrinsics / extrinsics / disparity model
+    (reference: main.py:217-232, modules/texture_mapping.py:144-163,213-217)."""
+
+    # Intrinsics K (reference: main.py:228-232)
+    fx: float = 585.05
+    fy: float = 585.05
+    cx: float = 242.94
+    cy: float = 315.84
+    # Camera -> robot extrinsic: 18 degree pitch (reference: main.py:217-225)
+    pitch_deg: float = 18.0
+    p_rc: Tuple[float, float, float] = (0.16766, 0.0, 0.38001)
+    # Disparity -> depth model (reference: modules/texture_mapping.py:144-145)
+    disp_a: float = -0.00304
+    disp_b: float = 3.31
+    depth_scale: float = 1.03
+    # RGB registration (reference: modules/texture_mapping.py:161-162)
+    reg_scale: float = 526.37
+    reg_i_off: float = 19276.0
+    reg_dd: float = 7877.07
+    reg_j_off: float = 16662.0
+    reg_div: float = 585.051
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """ICP stopping rules (reference: modules/icp.py:123-133, localization.py:120-123)."""
+
+    epsilon: float = 0.001
+    max_iters: int = 2000
+    stopping_thresh: float = 1e-4
+    normalize_error: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Pose-graph factor noise + loop-closure schedule (reference: main.py:148-172)."""
+
+    prior_sigmas: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    between_sigmas: Tuple[float, float, float] = (0.3, 0.3, 0.3)
+    loop_sigmas: Tuple[float, float, float] = (0.3, 0.3, 0.3)
+    fixed_interval: int = 10  # reference: main.py:20,158
+    # Levenberg-Marquardt schedule (replacement for gtsam.LevenbergMarquardtOptimizer,
+    # reference: main.py:181-182)
+    max_lm_iters: int = 50
+    lambda_init: float = 1e-4
+    lambda_up: float = 10.0
+    lambda_down: float = 0.1
+    cg_iters: int = 250
+    cg_tol: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Scan-filtering settings (reference: main.py:86-87, modules/localization.py:201-250)."""
+
+    dbscan_eps: float = 0.1
+    dbscan_min_samples: int = 10
+    statistical_k_std: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    robot: RobotConfig = RobotConfig()
+    lidar: LidarConfig = LidarConfig()
+    map: MapConfig = MapConfig()
+    camera: CameraConfig = CameraConfig()
+    icp: IcpConfig = IcpConfig()
+    pose_graph: PoseGraphConfig = PoseGraphConfig()
+    filter: FilterConfig = FilterConfig()

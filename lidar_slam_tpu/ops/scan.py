@@ -1,0 +1,45 @@
+"""Lidar scan preprocessing: polar -> Cartesian with validity masks.
+
+The reference returns a ragged list of per-scan (n_i, 2) arrays
+(reference: modules/localization.py:252-307). Ragged shapes defeat XLA, so the
+TPU-native representation is the single most important design decision of this
+framework: every scan stays a FIXED (n_rays, 2) array plus a boolean validity
+mask. Range filtering (reference: localization.py:288) and the DBSCAN /
+statistical filters (localization.py:201-250) become mask updates, never shape
+changes — so the whole pipeline vmaps/scans over a dense (N, n_rays, ...)
+batch.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import LidarConfig
+
+
+def scan_angles(cfg: LidarConfig) -> jnp.ndarray:
+    """Ray angles, identical linspace to reference modules/localization.py:278."""
+    return jnp.linspace(cfg.angle_min, cfg.angle_max, cfg.n_rays)
+
+
+def scans_to_points(
+    ranges: jnp.ndarray,
+    range_min: float,
+    range_max: float,
+    cfg: LidarConfig = LidarConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convert (N, n_rays) ranges to robot-frame points (N, n_rays, 2) + mask.
+
+    Matches reference modules/localization.py:283-305: validity is
+    range_min <= r <= range_max; points are polar->Cartesian in the lidar
+    frame then offset by the lidar->robot translation p_rl (R = I). Invalid
+    rays keep a well-defined (masked) value of the lidar origin offset.
+    """
+    angles = scan_angles(cfg)
+    mask = (ranges >= range_min) & (ranges <= range_max)
+    safe = jnp.where(mask, ranges, 0.0)
+    x = safe * jnp.cos(angles)[None, :] + cfg.p_rl[0]
+    y = safe * jnp.sin(angles)[None, :] + cfg.p_rl[1]
+    return jnp.stack([x, y], axis=-1), mask

@@ -1,0 +1,185 @@
+"""Host-side IO: npy/npz persistence, dataset loading, synthetic data.
+
+Capability parity with the reference loaders (reference: modules/utils.py:5-102)
+plus a synthetic dataset generator — the real datasets are gitignored upstream
+(reference: .gitignore:7-8), so tests and benchmarks synthesize data with the
+same shapes and statistics as dataset 20.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+DATASET_NAMES = {
+    "encoder": "Encoders",
+    "lidar": "Hokuyo",
+    "imu": "Imu",
+    "rgbd": "Kinect",
+}
+
+
+def save_numpy(array, filename: str) -> None:
+    """Save an array, appending .npy when absent (reference: modules/utils.py:5-19)."""
+    if not filename.endswith(".npy"):
+        filename += ".npy"
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    with open(filename, "wb") as f:
+        np.save(f, np.asarray(array))
+
+
+def load_numpy(filename: str) -> np.ndarray:
+    """Load an array, appending .npy when absent (reference: modules/utils.py:21-34)."""
+    if not filename.endswith(".npy"):
+        filename += ".npy"
+    with open(filename, "rb") as f:
+        return np.load(f)
+
+
+def load_data(dataset_num: int, dataset_names: Dict[str, str] | None = None,
+              data_folder: str = "data/") -> Dict:
+    """Load the 4 sensor npz files for one dataset into a nested dict,
+    transposed time-major (reference: modules/utils.py:36-102)."""
+    dataset_names = dataset_names or DATASET_NAMES
+    if not os.path.exists(data_folder):
+        raise ValueError("Data folder does not exist.")
+    if not data_folder.endswith("/"):
+        data_folder += "/"
+    if dataset_num not in [20, 21]:
+        raise ValueError("Invalid dataset number. Must be 20 or 21.")
+
+    with np.load(f"{data_folder}{dataset_names['encoder']}{dataset_num}.npz") as d:
+        encoder = {"counts": d["counts"].T, "stamps": d["time_stamps"]}
+    with np.load(f"{data_folder}{dataset_names['lidar']}{dataset_num}.npz") as d:
+        lidar = {
+            "angle_min": d["angle_min"],
+            "angle_max": d["angle_max"],
+            "angle_increment": d["angle_increment"].item(),
+            "range_min": d["range_min"],
+            "range_max": d["range_max"],
+            "ranges": d["ranges"].T,
+            "stamps": d["time_stamps"],
+        }
+    with np.load(f"{data_folder}{dataset_names['imu']}{dataset_num}.npz") as d:
+        imu = {
+            "angular_velocity": d["angular_velocity"].T,
+            "linear_acceleration": d["linear_acceleration"].T,
+            "stamps": d["time_stamps"],
+        }
+    with np.load(f"{data_folder}{dataset_names['rgbd']}{dataset_num}.npz") as d:
+        rgbd = {"disp_stamps": d["disparity_time_stamps"], "rgb_stamps": d["rgb_time_stamps"]}
+
+    return {"encoder": encoder, "lidar": lidar, "imu": imu, "rgbd": rgbd}
+
+
+def find_nearest_indices(array: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-value index lookup.
+
+    Replaces the O(N*M) Python scan (reference: modules/utils.py:104-138) with
+    an O((N+M) log N) searchsorted; tie-breaking matches argmin-of-abs-diff
+    (first/lower index wins on exact ties).
+    """
+    array = np.asarray(array, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64)
+    order = np.argsort(array, kind="stable")
+    sorted_arr = array[order]
+    pos = np.searchsorted(sorted_arr, values)
+    pos = np.clip(pos, 1, len(sorted_arr) - 1)
+    left = sorted_arr[pos - 1]
+    right = sorted_arr[pos]
+    # argmin returns the FIRST minimal index; with a sorted unique array the
+    # lower neighbor wins ties (|v-left| == |v-right| -> left).
+    take_left = (values - left) <= (right - values)
+    idx_sorted = np.where(take_left, pos - 1, pos)
+    return order[idx_sorted]
+
+
+def synthetic_dataset(
+    n_steps: int = 4956,
+    n_rays: int = 1081,
+    n_rgb: int = 200,
+    seed: int = 0,
+    range_min: float = 0.1,
+    range_max: float = 30.0,
+) -> Dict:
+    """Generate a dataset-20-shaped synthetic dataset.
+
+    A robot drives a loopy trajectory inside a rectangular room with a few
+    pillars; lidar ranges are raycast analytically against the walls. Shapes
+    mirror the reference loader output (reference: modules/utils.py:77-100;
+    dataset-20 sizes from outputs/poses_odom_20.npy = (4956, 3)).
+    """
+    rng = np.random.default_rng(seed)
+    freq = 40.0
+    dt = 1.0 / freq
+    t0 = 1e9
+    stamps = t0 + np.arange(n_steps) * dt
+
+    # Smooth velocity/yaw-rate profile -> ground-truth trajectory.
+    t = np.arange(n_steps) * dt
+    v = 0.30 + 0.12 * np.sin(2 * np.pi * t / 40.0)
+    w = 0.25 * np.sin(2 * np.pi * t / 25.0) + 0.06 * np.sin(2 * np.pi * t / 7.0)
+    theta = np.cumsum(w * dt)
+    x = np.cumsum(v * dt * np.cos(theta))
+    y = np.cumsum(v * dt * np.sin(theta))
+    gt_poses = np.stack([x, y, theta], axis=1)
+
+    # Encoder counts consistent with v: counts such that
+    # v = ((FR+RR)/2 + (FL+RL)/2)/2 * 0.0022 * 40  (reference: localization.py:146-158)
+    ticks = v / (0.0022 * freq)
+    counts = np.stack([ticks, ticks, ticks, ticks], axis=1)
+    counts += rng.normal(0, 0.05, counts.shape)
+
+    # IMU gyro: z is yaw rate.
+    gyro = np.zeros((n_steps, 3))
+    gyro[:, 2] = w + rng.normal(0, 2e-3, n_steps)
+    acc = np.zeros((n_steps, 3))
+    acc[:, 2] = 9.81
+
+    # Lidar: analytic raycast against an axis-aligned room and pillars.
+    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
+    ranges = _raycast_room(gt_poses, angles, range_max, rng)
+    ranges = np.clip(ranges + rng.normal(0, 0.01, ranges.shape), 0.0, range_max + 5.0)
+
+    rgb_stamps = t0 + np.linspace(0, n_steps * dt, n_rgb)
+    disp_stamps = t0 + np.linspace(0, n_steps * dt, int(n_rgb * 1.2))
+
+    return {
+        "encoder": {"counts": counts, "stamps": stamps},
+        "lidar": {
+            "angle_min": np.radians(-135.0),
+            "angle_max": np.radians(135.0),
+            "angle_increment": np.radians(270.0) / (n_rays - 1),
+            "range_min": np.float64(range_min),
+            "range_max": np.float64(range_max),
+            "ranges": ranges,
+            "stamps": stamps + rng.normal(0, 1e-4, n_steps),
+        },
+        "imu": {
+            "angular_velocity": gyro,
+            "linear_acceleration": acc,
+            "stamps": stamps + rng.normal(0, 1e-4, n_steps),
+        },
+        "rgbd": {"disp_stamps": disp_stamps, "rgb_stamps": rgb_stamps},
+        "ground_truth": gt_poses,
+    }
+
+
+def _raycast_room(poses: np.ndarray, angles: np.ndarray, range_max: float,
+                  rng: np.random.Generator) -> np.ndarray:
+    """Analytic ray-vs-wall distances for a rectangular room around the path."""
+    margin = 8.0
+    xmin, xmax = poses[:, 0].min() - margin, poses[:, 0].max() + margin
+    ymin, ymax = poses[:, 1].min() - margin, poses[:, 1].max() + margin
+
+    th = poses[:, 2:3] + angles[None, :]  # (N, R) world-frame ray angles
+    c, s = np.cos(th), np.sin(th)
+    px, py = poses[:, 0:1], poses[:, 1:2]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx = np.where(c > 0, (xmax - px) / c, np.where(c < 0, (xmin - px) / c, np.inf))
+        ty = np.where(s > 0, (ymax - py) / s, np.where(s < 0, (ymin - py) / s, np.inf))
+    r = np.minimum(tx, ty)
+    return np.minimum(r, range_max * 1.2)
