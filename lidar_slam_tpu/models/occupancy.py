@@ -1,0 +1,217 @@
+"""Log-odds occupancy grid mapping, TPU-native.
+
+Capability parity with the reference OGM (reference: modules/ogm.py:5-231),
+redesigned for XLA: the per-scan Python loop over ~1081 rays with per-ray
+variable-length Bresenham and in-place array writes becomes
+
+  - one vmapped fixed-length Bresenham over all rays (ops/bresenham.py),
+  - one scatter-add of +/- log4 contributions into the grid
+    (out-of-bounds cells dropped by the scatter itself), and
+  - a lax.scan over time steps carrying the grid, clipping to +/-20 after
+    each scan exactly like the reference (modules/ogm.py:188 — the clip is
+    sequential, so the time axis is a scan; rays within a scan are the
+    parallel axis and are additionally shardable across devices).
+
+Replicated reference quirks (see SURVEY.md section 2 #12):
+  - world2grid is ceil((x - min)/res) - 1 (modules/ogm.py:117-123);
+  - the ray ORIGIN is robot xy + the UNROTATED lidar offset p_rl[:2]
+    (modules/ogm.py:164-166), while endpoints use the rotated scan points;
+  - if a ray's endpoint leaves the map, the LAST in-bounds cell on the ray
+    receives the occupied (+log4) update (modules/ogm.py:181-185 filters
+    in-bounds first, then treats the final remaining cell as the endpoint);
+  - finalize: pmf = sigmoid(-logodds); the uint8 grid_map is 1 exactly where
+    pmf > 0.5, i.e. value 1 marks FREE cells (modules/ogm.py:61-64 — the
+    reference's 0.5 assignment truncates to 0 in uint8; we replicate the
+    semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LidarConfig, MapConfig
+from ..ops.bresenham import bresenham_fixed
+
+
+def world2grid(x: jnp.ndarray, y: jnp.ndarray, cfg: MapConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World meters -> integer cell indices (reference: modules/ogm.py:102-124)."""
+    i = jnp.ceil((x - cfg.world_min_x) / cfg.resolution).astype(jnp.int32) - 1
+    j = jnp.ceil((y - cfg.world_min_y) / cfg.resolution).astype(jnp.int32) - 1
+    return i, j
+
+
+def grid2world(i: jnp.ndarray, j: jnp.ndarray, cfg: MapConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cell indices -> world meters (reference: modules/ogm.py:126-147)."""
+    return i * cfg.resolution + cfg.world_min_x, j * cfg.resolution + cfg.world_min_y
+
+
+def max_ray_cells(cfg: MapConfig, range_max: float) -> int:
+    """Static bound on cells per ray: a ray of physical length range_max spans
+    at most ceil(range_max/res) cells along the major axis (+ slack for the
+    start offset)."""
+    return int(math.ceil(range_max / cfg.resolution)) + 8
+
+
+def scan_logodds_delta(
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-scan ray contributions: flat (R*K,) cell coords xs, ys and values.
+
+    pose (3,), points (R, 2) robot-frame scan points (already including the
+    lidar offset, like reference z_ts), mask (R,) ray validity.
+    """
+    x, y, yaw = pose[0], pose[1], pose[2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    # endpoints: rotate robot-frame points to world and translate
+    # (reference: modules/ogm.py:160-162)
+    wx = points[..., 0] * c - points[..., 1] * s + x
+    wy = points[..., 0] * s + points[..., 1] * c + y
+    # ray origin: robot xy + unrotated lidar offset (reference: ogm.py:164-166)
+    ox = x + LidarConfig().p_rl[0]
+    oy = y + LidarConfig().p_rl[1]
+
+    sx, sy = world2grid(ox, oy, cfg)
+    ex, ey = world2grid(wx, wy, cfg)
+    sx = jnp.broadcast_to(sx, ex.shape)
+    sy = jnp.broadcast_to(sy, ey.shape)
+
+    xs, ys, in_ray = bresenham_fixed(sx, sy, ex, ey, K)  # (R, K)
+
+    in_bounds = (xs >= 0) & (xs < cfg.width) & (ys >= 0) & (ys < cfg.height)
+    valid = in_ray & in_bounds & mask[..., None]
+
+    k = jnp.arange(K, dtype=jnp.int32)
+    # last in-bounds cell gets +log4 (occupied); earlier cells -log4 (free)
+    last_valid = jnp.max(jnp.where(valid, k, -1), axis=-1, keepdims=True)
+    L = cfg.logodds_ratio
+    values = jnp.where(valid, jnp.where(k == last_valid, L, -L), 0.0)
+
+    # route masked-out slots to an out-of-bounds index so scatter drops them
+    xs = jnp.where(valid, xs, -1)
+    return xs.reshape(-1), ys.reshape(-1), values.reshape(-1).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "K"))
+def update_map(
+    logodds: jnp.ndarray,
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> jnp.ndarray:
+    """One scan's map update: scatter-add all ray contributions, then clip
+    (reference: modules/ogm.py:149-188)."""
+    xs, ys, values = scan_logodds_delta(pose, points, mask, cfg, K)
+    new = logodds.at[xs, ys].add(values, mode="drop")
+    return jnp.clip(new, -cfg.logodds_clip, cfg.logodds_clip)
+
+
+@partial(jax.jit, static_argnames=("cfg", "K"))
+def build_logodds(
+    poses: jnp.ndarray,
+    points: jnp.ndarray,
+    masks: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+    init: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Build the full log-odds grid with a lax.scan over scans
+    (reference: modules/ogm.py:45-59). poses (N,3), points (N,R,2), masks (N,R)."""
+    if init is None:
+        init = jnp.zeros((cfg.width, cfg.height), dtype=jnp.float32)
+
+    def step(grid, inp):
+        pose, pts, m = inp
+        xs, ys, values = scan_logodds_delta(pose, pts, m, cfg, K)
+        grid = grid.at[xs, ys].add(values, mode="drop")
+        return jnp.clip(grid, -cfg.logodds_clip, cfg.logodds_clip), None
+
+    grid, _ = jax.lax.scan(step, init, (poses, points, masks))
+    return grid
+
+
+def finalize_grid(logodds: jnp.ndarray) -> jnp.ndarray:
+    """Threshold log-odds into the uint8 grid_map (reference: modules/ogm.py:61-64;
+    value 1 marks FREE cells — see module docstring)."""
+    pmf = 1.0 / (1.0 + jnp.exp(logodds))
+    return (pmf > 0.5).astype(jnp.uint8)
+
+
+def render_logodds(logodds: jnp.ndarray) -> np.ndarray:
+    """Min-max normalize + sqrt gamma -> uint8 grayscale image
+    (reference rendering semantics: modules/ogm.py:66-85)."""
+    lo = np.asarray(logodds, dtype=np.float64)
+    den = lo.max() - lo.min()
+    norm = (lo - lo.min()) / (den if den > 0 else 1.0)
+    return (np.sqrt(norm) * 255.0).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class OccupancyGridMap:
+    """Stateful convenience wrapper mirroring the reference class surface
+    (reference: modules/ogm.py:5-64) over the functional core above."""
+
+    cfg: MapConfig
+    range_max: float = 30.0
+
+    def __post_init__(self):
+        self.grid_map_width = self.cfg.width
+        self.grid_map_height = self.cfg.height
+        self.res = self.cfg.resolution
+        self.logodds_ratio = self.cfg.logodds_ratio
+        self.K = max_ray_cells(self.cfg, self.range_max)
+        self.grid_map_log_odds = jnp.zeros((self.cfg.width, self.cfg.height), jnp.float32)
+        self.grid_map = np.zeros((self.cfg.width, self.cfg.height), np.uint8)
+
+    @classmethod
+    def create(cls, resolution, world_map_max_x, world_map_max_y,
+               world_map_min_x, world_map_min_y, buffer=1.0, range_max=30.0):
+        cfg = MapConfig(resolution=resolution, world_max_x=world_map_max_x,
+                        world_max_y=world_map_max_y, world_min_x=world_map_min_x,
+                        world_min_y=world_map_min_y, buffer=buffer)
+        return cls(cfg=cfg, range_max=range_max)
+
+    def world2grid(self, x, y):
+        i, j = world2grid(jnp.asarray(x), jnp.asarray(y), self.cfg)
+        return np.stack([np.asarray(i).reshape(-1), np.asarray(j).reshape(-1)], axis=-1).squeeze()
+
+    def grid2world(self, i, j):
+        x, y = grid2world(jnp.asarray(i), jnp.asarray(j), self.cfg)
+        return np.stack([np.asarray(x).reshape(-1), np.asarray(y).reshape(-1)], axis=-1).squeeze()
+
+    def update_map(self, x_t, z_t, mask=None):
+        z_t = jnp.asarray(z_t)
+        if mask is None:
+            mask = jnp.ones(z_t.shape[0], dtype=bool)
+        self.grid_map_log_odds = update_map(
+            self.grid_map_log_odds, jnp.asarray(x_t), z_t, mask, self.cfg, self.K)
+
+    def build_map(self, states, meas, masks=None):
+        states = jnp.asarray(states)
+        meas = jnp.asarray(meas)
+        if masks is None:
+            masks = jnp.ones(meas.shape[:2], dtype=bool)
+        self.grid_map_log_odds = build_logodds(
+            states, meas, jnp.asarray(masks), self.cfg, self.K,
+            init=self.grid_map_log_odds)
+        self.grid_map = np.asarray(finalize_grid(self.grid_map_log_odds))
+
+    def plot_log_odds_map(self, fname):
+        from ..utils.png import write_png
+        write_png(fname, render_logodds(self.grid_map_log_odds))
+
+    def plot_map(self, fname):
+        from ..utils.png import write_png
+        write_png(fname, (np.asarray(self.grid_map) * 255).astype(np.uint8))

@@ -1,0 +1,92 @@
+"""Exact Bresenham ray traversal as a fixed-length, mask-based vectorized op.
+
+The reference traces each ray with a per-ray NumPy routine returning a
+variable-length (n, 2) cell list inside a Python loop over ~1081 rays x ~5k
+scans (reference: modules/ogm.py:172-174,190-231; conformance vectors in
+code/pr2_utils.py:88-100). Variable lengths defeat XLA, so here every ray
+produces a FIXED (K, 2) cell array plus a validity mask, computed closed-form:
+
+The reference's integer Bresenham advances one cell per step along the major
+axis; the minor coordinate increments exactly when the running error
+accumulator wraps. Its accumulator at step k is m_k = (floor(dx/2) - k*dy) mod
+dx, and the minor axis steps at k iff m_k >= m_{k-1} (the reference computes
+this via diff-of-mod >= 0). That closed form needs no sequential dependency
+except a cumulative sum — which is a parallel prefix — so the whole
+trace vectorizes over both k and rays and the visited cell SET matches the
+reference exactly (validated against the golden rays in
+code/pr2_utils.py:94-96).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("K",))
+def bresenham_fixed(sx, sy, ex, ey, K: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Trace (sx,sy) -> (ex,ey) into K slots.
+
+    All inputs are int32 scalars or broadcastable arrays with a common batch
+    shape B; returns (xs, ys, mask) each of shape B + (K,). Slot k holds the
+    k-th visited cell; mask marks slots within the true ray length
+    max(|dx|,|dy|)+1. K must be >= the longest expected ray; longer rays are
+    truncated tail-first (the tail is the segment farthest from the start).
+    """
+    sx = jnp.asarray(sx, jnp.int32)
+    sy = jnp.asarray(sy, jnp.int32)
+    ex = jnp.asarray(ex, jnp.int32)
+    ey = jnp.asarray(ey, jnp.int32)
+
+    dx0 = jnp.abs(ex - sx)
+    dy0 = jnp.abs(ey - sy)
+    steep = dy0 > dx0
+    dx = jnp.maximum(dx0, dy0)
+    dy = jnp.minimum(dx0, dy0)
+
+    k = jnp.arange(K, dtype=jnp.int32)
+    shape = jnp.broadcast_shapes(dx.shape, ())
+    k = jnp.broadcast_to(k, dx.shape + (K,)) if dx.ndim else k
+    del shape
+
+    dxe = dx[..., None] if dx.ndim else dx
+    dye = dy[..., None] if dy.ndim else dy
+
+    # Error accumulator m_k = (dx//2 - k*dy) mod dx; minor steps where the
+    # accumulator wraps (m_k >= m_{k-1}).
+    denom = jnp.maximum(dxe, 1)
+    m = jnp.mod(dxe // 2 - k * dye, denom)
+    m_prev = jnp.concatenate([m[..., :1], m[..., :-1]], axis=-1)
+    q = ((k >= 1) & (dye > 0) & (m >= m_prev)).astype(jnp.int32)
+    minor = jnp.cumsum(q, axis=-1)
+
+    sgn_x = jnp.where(sx <= ex, 1, -1).astype(jnp.int32)
+    sgn_y = jnp.where(sy <= ey, 1, -1).astype(jnp.int32)
+    sxe = sx[..., None] if sx.ndim else sx
+    sye = sy[..., None] if sy.ndim else sy
+    sgx = sgn_x[..., None] if sgn_x.ndim else sgn_x
+    sgy = sgn_y[..., None] if sgn_y.ndim else sgn_y
+    steepe = steep[..., None] if steep.ndim else steep
+
+    xs = jnp.where(steepe, sxe + sgx * minor, sxe + sgx * k)
+    ys = jnp.where(steepe, sye + sgy * k, sye + sgy * minor)
+    mask = k <= dxe
+    return xs, ys, mask
+
+
+def bresenham_cells(sx: int, sy: int, ex: int, ey: int) -> jnp.ndarray:
+    """Convenience: single-ray trace returning only the (n, 2) valid cells
+    (host-side helper for tests/conformance against code/pr2_utils.py:94-96).
+
+    K is bucketed to the next power of two so repeated calls share compiled
+    executables instead of recompiling per ray length.
+    """
+    n = int(max(abs(ex - sx), abs(ey - sy))) + 1
+    K = 16
+    while K < n:
+        K *= 2
+    xs, ys, mask = bresenham_fixed(sx, sy, ex, ey, K)
+    return jnp.stack([xs, ys], axis=-1)[mask]

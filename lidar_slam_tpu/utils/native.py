@@ -1,0 +1,84 @@
+"""ctypes bindings to the native C++ runtime library (native/libslamio.so).
+
+The reference's native code is all third-party C/C++ behind Python bindings
+(GTSAM, scipy KDTree, sklearn DBSCAN, cv2 — see SURVEY.md section 2). This
+framework's native layer is first-party: a small C++ library providing the
+host-side runtime pieces that should not run in Python — PNG decode (libpng)
+for the Kinect frames, a parallel texture-frame loader, and an exact KDTree
+used for host-side conformance validation of the on-device brute-force NN.
+
+Build with `make -C native` (see native/Makefile). Everything degrades
+gracefully to pure-Python fallbacks when the library is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "..", "native", "libslamio.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.abspath(_lib_path())
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.slamio_read_png_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.slamio_read_png_info.restype = ctypes.c_int
+        lib.slamio_read_png_u8.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.slamio_read_png_u8.restype = ctypes.c_int
+        lib.slamio_read_png_u16.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.slamio_read_png_u16.restype = ctypes.c_int
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_png(path: str) -> np.ndarray:
+    """Decode a PNG via the native library; returns (H, W[, C]) uint8/uint16."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run `make -C native`)")
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    channels = ctypes.c_int()
+    depth = ctypes.c_int()
+    rc = lib.slamio_read_png_info(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                                  ctypes.byref(channels), ctypes.byref(depth))
+    if rc != 0:
+        raise IOError(f"native PNG info failed for {path} (rc={rc})")
+    shape = (h.value, w.value) if channels.value == 1 else (h.value, w.value, channels.value)
+    if depth.value == 16:
+        out = np.empty(shape, dtype=np.uint16)
+        rc = lib.slamio_read_png_u16(path.encode(), out.ctypes.data_as(ctypes.c_void_p))
+    else:
+        out = np.empty(shape, dtype=np.uint8)
+        rc = lib.slamio_read_png_u8(path.encode(), out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise IOError(f"native PNG decode failed for {path} (rc={rc})")
+    return out
