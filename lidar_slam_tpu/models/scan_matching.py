@@ -1,0 +1,123 @@
+"""Scan matching: ICP-refined odometry over all consecutive scan pairs.
+
+Capability parity with the reference scan-matching stage
+(reference: modules/localization.py:95-134), redesigned TPU-first. The
+reference runs ~5k sequential ICPs in a Python loop; but each pair's ICP is
+seeded from the ODOMETRY relative pose, not from the refined chain
+(localization.py:116-118), so every pair is independent — the whole stage is
+
+  1. one batched ICP over all consecutive pairs (chunked to bound the
+     B x P x P correspondence working set), then
+  2. one associative-scan prefix composition of the refined relative
+     SE(2) transforms (O(log N) depth).
+
+This batching is exact, not an approximation — see SURVEY.md section 7.6.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IcpConfig
+from ..ops import icp as icp_ops
+from ..utils import se2
+
+
+class ScanMatchResult(NamedTuple):
+    poses: jnp.ndarray  # (N, 3) refined trajectory
+    relative_poses: jnp.ndarray  # (N-1, 3, 3) refined relative SE(2)
+    errors: jnp.ndarray  # (N-1,) final ICP errors
+    iters: jnp.ndarray  # (N-1,) ICP iterations per pair
+
+
+def icp_all_pairs(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    init_T: jnp.ndarray,
+    epsilon: float = 0.001,
+    max_iters: int = 2000,
+    stopping_thresh: float = 1e-4,
+    normalize_error: bool = False,
+    chunk_size: int = 64,
+):
+    """Batched ICP over B pairs, processed in fixed-size chunks.
+
+    Chunking bounds device memory (each chunk's correspondence search is a
+    C x P x P distance problem) and limits convergence coupling (a chunk
+    iterates until its slowest pair converges). Inputs are padded to a whole
+    number of chunks; padding pairs run with a single valid point and
+    converge immediately.
+    """
+    B, P = src.shape[0], src.shape[1]
+    C = min(chunk_size, B)
+    n_chunks = -(-B // C)
+    pad = n_chunks * C - B
+
+    def pad0(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    if pad:
+        src_p, tgt_p = pad0(src), pad0(tgt)
+        src_mask_p, tgt_mask_p = pad0(src_mask), pad0(tgt_mask)
+        # padded masks are all-False; give targets one valid point so the
+        # argmin is well defined, and sources none so the error is 0 < eps
+        tgt_mask_p = tgt_mask_p.at[B:, 0].set(True)
+        init_p = jnp.concatenate(
+            [init_T, jnp.tile(jnp.eye(4, dtype=init_T.dtype), (pad, 1, 1))], axis=0)
+    else:
+        src_p, tgt_p, src_mask_p, tgt_mask_p, init_p = src, tgt, src_mask, tgt_mask, init_T
+
+    Ts, errs, its = [], [], []
+    for c in range(n_chunks):
+        sl = slice(c * C, (c + 1) * C)
+        res = icp_ops.run_icp_batch(
+            src_p[sl], tgt_p[sl], src_mask_p[sl], tgt_mask_p[sl], init_p[sl],
+            epsilon=epsilon, max_iters=max_iters,
+            stopping_thresh=stopping_thresh, normalize_error=normalize_error)
+        Ts.append(res.T)
+        errs.append(res.error)
+        its.append(res.iters)
+    T = jnp.concatenate(Ts, axis=0)[:B]
+    return T, jnp.concatenate(errs)[:B], jnp.concatenate(its)[:B]
+
+
+def poses_from_scan_matching(
+    x_ts: jnp.ndarray,
+    points: jnp.ndarray,
+    masks: jnp.ndarray,
+    cfg: IcpConfig = IcpConfig(),
+    chunk_size: int = 64,
+) -> ScanMatchResult:
+    """Refine an odometry trajectory with batched consecutive-pair ICP.
+
+    x_ts (N, 3) odometry poses; points (N, P, 2) robot-frame scan points;
+    masks (N, P) ray validity. Matches reference semantics
+    (modules/localization.py:112-130): pair i aligns scan i to scan i-1,
+    seeded with the odometry relative pose lifted to SE(3); refined global
+    poses are the prefix composition of the per-pair results starting at the
+    origin.
+    """
+    x_ts = jnp.asarray(x_ts)
+    pts3 = icp_ops.lift_to_3d(jnp.asarray(points))
+    masks = jnp.asarray(masks)
+
+    seeds2 = se2.get_relative_pose(x_ts[:-1], x_ts[1:])  # (N-1, 3, 3)
+    seeds3 = se2.TSE3_from_TSE2(seeds2)
+
+    T_icp, errors, iters = icp_all_pairs(
+        pts3[1:], pts3[:-1], masks[1:], masks[:-1], seeds3,
+        epsilon=cfg.epsilon, max_iters=cfg.max_iters,
+        stopping_thresh=cfg.stopping_thresh,
+        normalize_error=cfg.normalize_error, chunk_size=chunk_size)
+
+    rel2 = se2.TSE2_from_TSE3(T_icp)  # (N-1, 3, 3)
+    chain = se2.compose_chain(rel2)  # (N, 3, 3)
+    poses = se2.pose_from_T(chain)
+    return ScanMatchResult(poses=poses, relative_poses=rel2,
+                           errors=errors, iters=iters)

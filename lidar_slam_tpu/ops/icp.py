@@ -1,0 +1,198 @@
+"""Batched masked ICP: the framework's #1 hot kernel.
+
+Capability parity with the reference ICP (reference: modules/icp.py:100-189,
+call sites modules/localization.py:115-123 and main.py:161-172), redesigned
+TPU-first:
+
+  - correspondences are an exact brute-force masked distance argmin on the
+    MXU (ops/nn.py) instead of a per-pair SciPy KDTree;
+  - the rigid fit is one batched 3x3 SVD Kabsch (ops/kabsch.py) instead of
+    per-pair numpy SVDs;
+  - the data-dependent iteration count lives in a single `lax.while_loop`
+    whose carry holds ALL pairs in the batch: converged pairs freeze (their
+    state stops updating) while the rest keep iterating, so thousands of
+    scan pairs run lockstep on device with no host round-trips.
+
+Reference stopping semantics preserved exactly (modules/icp.py:163-181):
+the transform is composed BEFORE the break checks, and the reported error is
+measured against the pre-update transform — so the returned T is one Kabsch
+step ahead of the returned error. Stop when (a) error < epsilon, (b) the
+iteration counter reaches max_iters, or (c) |last_err - err| <
+stopping_thresh (skipped on the first iteration).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kabsch import kabsch
+from .nn import nearest_neighbors
+
+_INF = jnp.inf
+
+
+class IcpResult(NamedTuple):
+    T: jnp.ndarray  # (..., 4, 4) final transforms
+    error: jnp.ndarray  # (...,) final (possibly normalized) error
+    iters: jnp.ndarray  # (...,) iterations executed per pair
+    correspondences: jnp.ndarray  # (..., P) final correspondence indices
+
+
+def _transform(pts: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+
+
+def _masked_minmax(pts: jnp.ndarray, mask: jnp.ndarray):
+    big = jnp.asarray(_INF, pts.dtype)
+    mn = jnp.min(jnp.where(mask[..., None], pts, big), axis=-2)
+    mx = jnp.max(jnp.where(mask[..., None], pts, -big), axis=-2)
+    return mn, mx
+
+
+def _error(src_t, matched, mask, normalize: bool):
+    """Masked squared error; optional bbox-diagonal normalization
+    (reference: modules/icp.py:76-98 — the bbox spans the transformed source
+    AND the corresponded target points, and N is the source point count)."""
+    d2 = jnp.sum((src_t - matched) ** 2, axis=-1)
+    err = jnp.sum(jnp.where(mask, d2, 0.0), axis=-1)
+    if not normalize:
+        return err
+    mn1, mx1 = _masked_minmax(src_t, mask)
+    mn2, mx2 = _masked_minmax(matched, mask)
+    mn = jnp.minimum(mn1, mn2)
+    mx = jnp.maximum(mx1, mx2)
+    diag2 = jnp.sum((mx - mn) ** 2, axis=-1)
+    n = jnp.maximum(jnp.sum(mask, axis=-1), 1)
+    return err / (diag2 * n)
+
+
+def icp_iteration(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    T_prev: jnp.ndarray,
+    normalize_error: bool = False,
+):
+    """One batched ICP iteration (reference semantics: modules/icp.py:100-121).
+
+    Returns (T_next, correspondences, error) where error is measured at
+    T_prev (pre-update) like the reference.
+    """
+    src_t = _transform(src, T_prev)
+    idx = nearest_neighbors(src_t, tgt, tgt_mask)
+    matched = jnp.take_along_axis(tgt, idx[..., None], axis=-2)
+    T_fit = kabsch(src_t, matched, w=src_mask.astype(src.dtype))
+    T_next = T_fit @ T_prev
+    err = _error(src_t, matched, src_mask, normalize_error)
+    return T_next, idx, err
+
+
+@partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
+                                   "normalize_error"))
+def run_icp_batch(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    init_T: jnp.ndarray,
+    epsilon: float = 0.01,
+    max_iters: int = 2000,
+    stopping_thresh: float = 1e-4,
+    normalize_error: bool = False,
+) -> IcpResult:
+    """Run ICP to convergence for a whole batch of pairs.
+
+    src/tgt (B, P, 3) point clouds, src_mask/tgt_mask (B, P) validity,
+    init_T (B, 4, 4) initial transforms. Defaults mirror the reference
+    signature (modules/icp.py:123-133).
+    """
+    B, P = src.shape[0], src.shape[1]
+    dtype = src.dtype
+
+    class Carry(NamedTuple):
+        T: jnp.ndarray
+        err: jnp.ndarray
+        last_err: jnp.ndarray
+        idx: jnp.ndarray
+        k: jnp.ndarray
+        done: jnp.ndarray
+
+    init = Carry(
+        T=init_T.astype(dtype),
+        err=jnp.full((B,), _INF, dtype),
+        last_err=jnp.full((B,), _INF, dtype),
+        idx=jnp.zeros((B, P), jnp.int32),
+        k=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+    )
+
+    def cond(c: Carry):
+        return jnp.any(~c.done)
+
+    def body(c: Carry):
+        T_new, idx, err = icp_iteration(src, tgt, src_mask, tgt_mask, c.T,
+                                        normalize_error)
+        live = ~c.done
+        # stopping rules evaluated with this iteration's error
+        hit_eps = err < epsilon
+        hit_iters = c.k >= max_iters
+        first = jnp.isinf(c.last_err)
+        hit_delta = (~first) & (jnp.abs(c.last_err - err) < stopping_thresh)
+        done_new = c.done | (live & (hit_eps | hit_iters | hit_delta))
+        sel = live[:, None, None]
+        return Carry(
+            T=jnp.where(sel, T_new, c.T),
+            err=jnp.where(live, err, c.err),
+            last_err=jnp.where(live, err, c.last_err),
+            idx=jnp.where(live[:, None], idx, c.idx),
+            k=jnp.where(live, c.k + 1, c.k),
+            done=done_new,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return IcpResult(T=out.T, error=out.err, iters=out.k, correspondences=out.idx)
+
+
+def lift_to_3d(pts: jnp.ndarray) -> jnp.ndarray:
+    """Append z = 0 to 2-D points (reference: modules/icp.py:153-156)."""
+    if pts.shape[-1] == 2:
+        return jnp.concatenate([pts, jnp.zeros(pts.shape[:-1] + (1,), pts.dtype)],
+                               axis=-1)
+    return pts
+
+
+def run_icp(
+    pc1: jnp.ndarray,
+    pc2: jnp.ndarray,
+    init_transform: jnp.ndarray | None = None,
+    epsilon: float = 0.01,
+    max_iters: int = 2000,
+    stopping_thresh: float = 1e-4,
+    normalize_error: bool = False,
+    pc1_mask: jnp.ndarray | None = None,
+    pc2_mask: jnp.ndarray | None = None,
+) -> IcpResult:
+    """Single-pair convenience wrapper mirroring the reference entry point
+    (reference: modules/icp.py:123-189). 2-D inputs are lifted to z = 0."""
+    pc1 = lift_to_3d(jnp.asarray(pc1))
+    pc2 = lift_to_3d(jnp.asarray(pc2))
+    if init_transform is None:
+        init_transform = jnp.eye(4, dtype=pc1.dtype)
+    if pc1_mask is None:
+        pc1_mask = jnp.ones(pc1.shape[:-1], bool)
+    if pc2_mask is None:
+        pc2_mask = jnp.ones(pc2.shape[:-1], bool)
+    res = run_icp_batch(
+        pc1[None], pc2[None], pc1_mask[None], pc2_mask[None],
+        jnp.asarray(init_transform)[None],
+        epsilon=epsilon, max_iters=max_iters,
+        stopping_thresh=stopping_thresh, normalize_error=normalize_error)
+    return IcpResult(T=res.T[0], error=res.error[0], iters=res.iters[0],
+                     correspondences=res.correspondences[0])

@@ -141,7 +141,8 @@ def synthetic_dataset(
     # Lidar: analytic raycast against an axis-aligned room and pillars.
     angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
     ranges = _raycast_room(gt_poses, angles, range_max, rng)
-    ranges = np.clip(ranges + rng.normal(0, 0.01, ranges.shape), 0.0, range_max + 5.0)
+    # ~3 mm range noise, typical of the Hokuyo class of scanner
+    ranges = np.clip(ranges + rng.normal(0, 0.003, ranges.shape), 0.0, range_max + 5.0)
 
     rgb_stamps = t0 + np.linspace(0, n_steps * dt, n_rgb)
     disp_stamps = t0 + np.linspace(0, n_steps * dt, int(n_rgb * 1.2))
@@ -169,7 +170,10 @@ def synthetic_dataset(
 
 def _raycast_room(poses: np.ndarray, angles: np.ndarray, range_max: float,
                   rng: np.random.Generator) -> np.ndarray:
-    """Analytic ray-vs-wall distances for a rectangular room around the path."""
+    """Analytic ray distances against a rectangular room plus circular
+    pillars (pillars give ICP rotational/translational constraints that bare
+    walls lack), with ~2% random dropouts (returned beyond range_max) so the
+    validity-mask paths see real traffic."""
     margin = 8.0
     xmin, xmax = poses[:, 0].min() - margin, poses[:, 0].max() + margin
     ymin, ymax = poses[:, 1].min() - margin, poses[:, 1].max() + margin
@@ -181,5 +185,24 @@ def _raycast_room(poses: np.ndarray, angles: np.ndarray, range_max: float,
     with np.errstate(divide="ignore", invalid="ignore"):
         tx = np.where(c > 0, (xmax - px) / c, np.where(c < 0, (xmin - px) / c, np.inf))
         ty = np.where(s > 0, (ymax - py) / s, np.where(s < 0, (ymin - py) / s, np.inf))
-    r = np.minimum(tx, ty)
-    return np.minimum(r, range_max * 1.2)
+    r = np.minimum(tx, ty).astype(np.float32)
+
+    # circular pillars scattered through the room interior
+    n_pillars = 12
+    prng = np.random.default_rng(12345)
+    cx = prng.uniform(xmin + 1, xmax - 1, n_pillars)
+    cy = prng.uniform(ymin + 1, ymax - 1, n_pillars)
+    rad = prng.uniform(0.2, 0.6, n_pillars)
+    for k in range(n_pillars):
+        ox = (cx[k] - px).astype(np.float32)  # (N, 1)
+        oy = (cy[k] - py).astype(np.float32)
+        t_close = ox * c + oy * s  # (N, R)
+        d2 = ox * ox + oy * oy - t_close * t_close
+        hit = (d2 < rad[k] ** 2) & (t_close > 0)
+        with np.errstate(invalid="ignore"):
+            t_hit = t_close - np.sqrt(np.maximum(rad[k] ** 2 - d2, 0.0))
+        r = np.where(hit & (t_hit < r), t_hit, r)
+
+    # dropouts: ~2% of rays return past range_max (invalid)
+    drop = rng.random(r.shape) < 0.02
+    return np.where(drop, range_max * 1.5, np.minimum(r, range_max * 1.2))

@@ -1,0 +1,220 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_slam_tpu.ops import icp as icp_ops
+from lidar_slam_tpu.ops.kabsch import kabsch
+from lidar_slam_tpu.ops.nn import nearest_neighbors
+
+
+def _rot(yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+# ---------------------------------------------------------------------------
+# independent numpy spec model of the reference ICP loop
+# (spec: modules/icp.py:100-189), used for step-exact cross-checks
+# ---------------------------------------------------------------------------
+
+def _np_kabsch(A, B):
+    ca, cb = A.mean(0), B.mean(0)
+    S = (A - ca).T @ (B - cb)
+    U, _, Vt = np.linalg.svd(S)
+    V = Vt.T
+    d = np.linalg.det(V @ U.T)
+    R = V @ np.diag([1.0, 1.0, d]) @ U.T
+    t = cb - R @ ca
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+def _np_error(A, B, normalize):
+    err = np.sum((A - B) ** 2)
+    if not normalize:
+        return err
+    allp = np.vstack([A, B])
+    diag2 = np.sum((allp.max(0) - allp.min(0)) ** 2)
+    return err / (diag2 * A.shape[0])
+
+
+def _np_icp(src, tgt, T0, eps, max_iters, stop, normalize):
+    from scipy.spatial import KDTree
+    tree = KDTree(tgt)
+    T = T0.copy()
+    last = None
+    k = 0
+    while True:
+        src_t = src @ T[:3, :3].T + T[:3, 3]
+        _, idx = tree.query(src_t)
+        matched = tgt[idx]
+        T_new = _np_kabsch(src_t, matched) @ T
+        err = _np_error(src_t, matched, normalize)
+        T = T_new
+        if err < eps:
+            break
+        if k >= max_iters:
+            break
+        if last is not None and abs(last - err) < stop:
+            break
+        last = err
+        k += 1
+    return T, err, k + 1
+
+
+def _cloud(rng, n=200, spread=2.0):
+    return rng.normal(0, spread, (n, 3)) * np.array([1.0, 1.0, 0.3])
+
+
+def test_nearest_neighbors_matches_kdtree():
+    from scipy.spatial import KDTree
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(128, 3))
+    tgt = rng.normal(size=(150, 3))
+    got = np.asarray(nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt)))
+    _, want = KDTree(tgt).query(src)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nearest_neighbors_respects_target_mask():
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(64, 3))
+    tgt = rng.normal(size=(80, 3))
+    mask = rng.random(80) > 0.5
+    got = np.asarray(nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt),
+                                       jnp.asarray(mask)))
+    from scipy.spatial import KDTree
+    sub = np.where(mask)[0]
+    _, want_sub = KDTree(tgt[sub]).query(src)
+    np.testing.assert_array_equal(got, sub[want_sub])
+
+
+def test_kabsch_recovers_known_transform():
+    rng = np.random.default_rng(2)
+    A = _cloud(rng)
+    R = _rot(0.8)
+    t = np.array([0.5, -1.2, 0.1])
+    B = A @ R.T + t
+    T = np.asarray(kabsch(jnp.asarray(A), jnp.asarray(B)))
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-9)
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-9)
+    assert np.isclose(np.linalg.det(T[:3, :3]), 1.0)
+
+
+def test_kabsch_reflection_guard():
+    """Degenerate planar data that would invite a reflection: det stays +1."""
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(50, 3)) * np.array([1.0, 1.0, 0.0])
+    B = A[:, [1, 0, 2]]  # mirrored correspondence
+    T = np.asarray(kabsch(jnp.asarray(A), jnp.asarray(B)))
+    assert np.linalg.det(T[:3, :3]) > 0.999
+
+
+def test_kabsch_masked_equals_subset():
+    rng = np.random.default_rng(4)
+    A = _cloud(rng, 100)
+    B = A @ _rot(0.3).T + np.array([1.0, 0.0, 0.0])
+    w = rng.random(100) > 0.4
+    T_masked = np.asarray(kabsch(jnp.asarray(A), jnp.asarray(B),
+                                 jnp.asarray(w.astype(np.float64))))
+    T_subset = _np_kabsch(A[w], B[w])
+    np.testing.assert_allclose(T_masked, T_subset, atol=1e-9)
+
+
+def test_icp_recovers_small_rigid_transform():
+    rng = np.random.default_rng(5)
+    src = _cloud(rng, 300)
+    R, t = _rot(0.15), np.array([0.2, -0.1, 0.0])
+    tgt = src @ R.T + t
+    res = icp_ops.run_icp(jnp.asarray(src), jnp.asarray(tgt), epsilon=1e-9,
+                          stopping_thresh=1e-12)
+    T = np.asarray(res.T)
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-5)
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-5)
+    assert float(res.error) < 1e-9
+
+
+def test_icp_step_exact_vs_reference_spec():
+    """Iteration-exact agreement with the numpy/KDTree spec model: same
+    transform, same error, same iteration count."""
+    rng = np.random.default_rng(6)
+    src = _cloud(rng, 150)
+    tgt = (src + rng.normal(0, 0.02, src.shape)) @ _rot(0.1).T
+    T0 = np.eye(4)
+    for normalize, eps in [(False, 1e-3), (True, 1e-3)]:
+        want_T, want_err, want_iters = _np_icp(src, tgt, T0, eps, 2000, 1e-4, normalize)
+        res = icp_ops.run_icp(jnp.asarray(src), jnp.asarray(tgt),
+                              jnp.asarray(T0), epsilon=eps,
+                              normalize_error=normalize)
+        np.testing.assert_allclose(np.asarray(res.T), want_T, atol=1e-8,
+                                   err_msg=f"normalize={normalize}")
+        np.testing.assert_allclose(float(res.error), want_err, atol=1e-10)
+        assert int(res.iters) == want_iters
+
+
+def test_icp_2d_inputs_lift():
+    rng = np.random.default_rng(7)
+    src2 = rng.normal(size=(100, 2))
+    R2 = _rot(0.2)[:2, :2]
+    tgt2 = src2 @ R2.T + np.array([0.1, 0.05])
+    res = icp_ops.run_icp(jnp.asarray(src2), jnp.asarray(tgt2), epsilon=1e-10,
+                          stopping_thresh=1e-13)
+    T = np.asarray(res.T)
+    np.testing.assert_allclose(T[:2, :2], R2, atol=1e-6)
+    np.testing.assert_allclose(T[2, 2], 1.0, atol=1e-9)
+
+
+def test_icp_batch_pairs_converge_independently():
+    """Pairs with different convergence speeds in one batch must each match
+    their solo run (freezing semantics)."""
+    rng = np.random.default_rng(8)
+    B, P = 4, 120
+    srcs, tgts = [], []
+    for b in range(B):
+        s = _cloud(rng, P)
+        yaw = 0.05 * (b + 1)
+        t = np.array([0.1 * b, -0.05 * b, 0.0])
+        srcs.append(s)
+        tgts.append(s @ _rot(yaw).T + t + rng.normal(0, 0.001 * b, s.shape))
+    src = jnp.asarray(np.stack(srcs))
+    tgt = jnp.asarray(np.stack(tgts))
+    ones = jnp.ones((B, P), bool)
+    eye = jnp.tile(jnp.eye(4), (B, 1, 1))
+    batch = icp_ops.run_icp_batch(src, tgt, ones, ones, eye, epsilon=1e-6)
+    for b in range(B):
+        solo = icp_ops.run_icp(src[b], tgt[b], epsilon=1e-6)
+        np.testing.assert_allclose(np.asarray(batch.T[b]), np.asarray(solo.T),
+                                   atol=1e-9, err_msg=f"pair {b}")
+        assert int(batch.iters[b]) == int(solo.iters)
+
+
+def test_icp_masked_equals_filtered():
+    """Masked invalid points must behave exactly like physically removing
+    them (the ragged reference representation)."""
+    rng = np.random.default_rng(9)
+    P = 160
+    src = _cloud(rng, P)
+    tgt = src @ _rot(0.12).T + np.array([0.3, 0.0, 0.0])
+    src_mask = rng.random(P) > 0.3
+    tgt_mask = rng.random(P) > 0.3
+
+    res_masked = icp_ops.run_icp(jnp.asarray(src), jnp.asarray(tgt),
+                                 epsilon=1e-5,
+                                 pc1_mask=jnp.asarray(src_mask),
+                                 pc2_mask=jnp.asarray(tgt_mask))
+    want_T, want_err, want_iters = _np_icp(src[src_mask], tgt[tgt_mask],
+                                           np.eye(4), 1e-5, 2000, 1e-4, False)
+    np.testing.assert_allclose(np.asarray(res_masked.T), want_T, atol=1e-8)
+    np.testing.assert_allclose(float(res_masked.error), want_err, atol=1e-9)
+    assert int(res_masked.iters) == want_iters
+
+
+def test_icp_max_iters_cap():
+    rng = np.random.default_rng(10)
+    src = _cloud(rng, 80)
+    tgt = rng.normal(size=(80, 3))  # unrelated clouds: never reaches epsilon
+    res = icp_ops.run_icp(jnp.asarray(src), jnp.asarray(tgt), epsilon=0.0,
+                          max_iters=5, stopping_thresh=0.0)
+    assert int(res.iters) == 6  # reference runs max_iters+1 computes

@@ -1,0 +1,110 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_slam_tpu.config import IcpConfig, LidarConfig
+from lidar_slam_tpu.models import odometry, scan_matching
+from lidar_slam_tpu.ops import scan as scan_ops
+from lidar_slam_tpu.utils import io, se2
+from tests.test_icp import _np_icp
+
+
+def _se2_of(T3):
+    out = np.eye(3)
+    out[:2, :2] = T3[:2, :2]
+    out[:2, 2] = T3[:2, 3]
+    return out
+
+
+def test_matches_sequential_reference_spec():
+    """Step-exact agreement with a sequential numpy/KDTree model of the
+    reference stage (spec: modules/localization.py:95-134)."""
+    rng = np.random.default_rng(0)
+    n, P = 8, 120
+    # ground-truth trajectory + world landmarks observed from each pose
+    gt = np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0)
+    world = rng.uniform(-4, 4, (400, 2))
+
+    scans = []
+    for i in range(n):
+        c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+        Rinv = np.array([[c, s], [-s, c]])
+        local = (world - gt[i, :2]) @ Rinv.T
+        idx = rng.choice(400, P, replace=False)
+        scans.append(local[idx])
+    scans = np.stack(scans)
+
+    odom = gt + rng.normal(0, 0.01, gt.shape)  # noisy odometry
+    masks = np.ones((n, P), bool)
+
+    res = scan_matching.poses_from_scan_matching(
+        jnp.asarray(odom), jnp.asarray(scans), jnp.asarray(masks),
+        IcpConfig(epsilon=0.001), chunk_size=4)
+
+    # sequential spec
+    poses = [np.zeros(3)]
+    chain = np.eye(3)
+    rels = []
+    for i in range(1, n):
+        T_init = np.asarray(se2.get_relative_pose(jnp.asarray(odom[i - 1]),
+                                                  jnp.asarray(odom[i])))
+        T_init3 = np.eye(4)
+        T_init3[:2, :2] = T_init[:2, :2]
+        T_init3[:2, 3] = T_init[:2, 2]
+        src = np.hstack([scans[i], np.zeros((P, 1))])
+        tgt = np.hstack([scans[i - 1], np.zeros((P, 1))])
+        T_icp, _, _ = _np_icp(src, tgt, T_init3, 0.001, 2000, 1e-4, False)
+        rel = _se2_of(T_icp)
+        rels.append(rel)
+        chain = chain @ rel
+        poses.append(np.array([chain[0, 2], chain[1, 2],
+                               np.arctan2(chain[1, 0], chain[0, 0])]))
+
+    np.testing.assert_allclose(np.asarray(res.relative_poses), np.stack(rels),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.poses), np.stack(poses), atol=1e-6)
+
+
+def test_improves_over_odometry_on_synthetic_world():
+    data = io.synthetic_dataset(n_steps=60, n_rays=541, seed=11)
+    cfg = LidarConfig(n_rays=541)
+    pts, mask = scan_ops.scans_to_points(
+        jnp.asarray(data["lidar"]["ranges"]), 0.1, 30.0, cfg)
+    gt = data["ground_truth"]
+    # corrupt odometry with a strong random walk; scan matching must pull the
+    # trajectory back toward ground truth. NB point-to-point ICP at 0.5 deg
+    # ray spacing has a known per-step rotation bias (NN snapping), identical
+    # to the reference algorithm — so the corruption must dominate that bias.
+    rng = np.random.default_rng(0)
+    odom = gt + np.cumsum(rng.normal(0, 0.05, gt.shape), axis=0)
+
+    res = scan_matching.poses_from_scan_matching(
+        jnp.asarray(odom), pts, mask, IcpConfig(epsilon=0.001), chunk_size=16)
+    refined = np.asarray(res.poses)
+
+    err_odom = np.linalg.norm(odom[:, :2] - gt[:, :2], axis=1).mean()
+    err_ref = np.linalg.norm(refined[:, :2] - gt[:, :2], axis=1).mean()
+    assert np.isfinite(refined).all()
+    assert err_ref < err_odom  # scan matching beats corrupted odometry
+    assert res.poses.shape == (60, 3)
+    assert res.relative_poses.shape == (59, 3, 3)
+
+
+def test_chunk_size_invariance():
+    """Results must not depend on the chunk partitioning."""
+    rng = np.random.default_rng(1)
+    n, P = 7, 60
+    gt = np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0)
+    world = rng.uniform(-3, 3, (300, 2))
+    scans = []
+    for i in range(n):
+        c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+        local = (world - gt[i, :2]) @ np.array([[c, s], [-s, c]]).T
+        scans.append(local[rng.choice(300, P, replace=False)])
+    scans = jnp.asarray(np.stack(scans))
+    masks = jnp.ones((n, P), bool)
+    odom = jnp.asarray(gt)
+
+    r1 = scan_matching.poses_from_scan_matching(odom, scans, masks, chunk_size=2)
+    r2 = scan_matching.poses_from_scan_matching(odom, scans, masks, chunk_size=6)
+    np.testing.assert_allclose(np.asarray(r1.poses), np.asarray(r2.poses),
+                               atol=1e-9)
