@@ -1,0 +1,196 @@
+"""In-JAX pose-graph optimization over SE(2): the GTSAM replacement.
+
+Capability parity with the reference's inlined GTSAM stage
+(reference: main.py:148-192): a prior on pose 0, a between factor per
+consecutive scan-matched pair, and gated fixed-interval loop closures,
+minimized by Levenberg-Marquardt. The reference crosses a C++ binding per
+factor and solves on the host; here the whole graph is three dense factor
+arrays and the entire LM solve — residuals, matrix-free normal equations via
+jvp/vjp, CG with Jacobi preconditioning, damping schedule — runs on device
+inside one jit. Residuals use the full SE(2) log map (utils/se2.py:log_se2),
+the same error model as gtsam.BetweenFactorPose2, so the optimum matches
+GTSAM's.
+
+Scale note: N poses -> 3N variables. The graph is a chain plus sparse loop
+arcs, so J^T J is block-tridiagonal + sparse off-band; CG with a Jacobi
+preconditioner solves it matrix-free in O(factors) per iteration without
+materializing the (3N, 3N) system.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PoseGraphConfig
+from ..utils import se2
+
+
+class PoseGraph(NamedTuple):
+    """Dense factor arrays for a 2-D pose graph.
+
+    prior_pose (3,): measured pose for the prior on vertex 0
+    prior_sigmas (3,)
+    between_meas (B, 3, 3): SE(2) measurement for factor i -> i+1
+    between_sigmas (3,)
+    loop_i, loop_j (L,): loop factor endpoints
+    loop_meas (L, 3, 3): SE(2) loop measurements
+    loop_mask (L,): gate (rejected closures get zero weight)
+    loop_sigmas (3,)
+    """
+
+    prior_pose: jnp.ndarray
+    prior_sigmas: jnp.ndarray
+    between_meas: jnp.ndarray
+    between_sigmas: jnp.ndarray
+    loop_i: jnp.ndarray
+    loop_j: jnp.ndarray
+    loop_meas: jnp.ndarray
+    loop_mask: jnp.ndarray
+    loop_sigmas: jnp.ndarray
+
+
+def make_graph(
+    relative_poses: jnp.ndarray,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    prior_pose: jnp.ndarray | None = None,
+    loop_i: jnp.ndarray | None = None,
+    loop_j: jnp.ndarray | None = None,
+    loop_meas: jnp.ndarray | None = None,
+    loop_mask: jnp.ndarray | None = None,
+) -> PoseGraph:
+    """Assemble a PoseGraph from scan-matching relative poses and optional
+    loop closures (reference graph construction: main.py:148-173)."""
+    dtype = relative_poses.dtype
+    if prior_pose is None:
+        prior_pose = jnp.zeros(3, dtype)
+    if loop_i is None:
+        loop_i = jnp.zeros((0,), jnp.int32)
+        loop_j = jnp.zeros((0,), jnp.int32)
+        loop_meas = jnp.zeros((0, 3, 3), dtype)
+        loop_mask = jnp.zeros((0,), bool)
+    return PoseGraph(
+        prior_pose=prior_pose,
+        prior_sigmas=jnp.asarray(cfg.prior_sigmas, dtype),
+        between_meas=relative_poses,
+        between_sigmas=jnp.asarray(cfg.between_sigmas, dtype),
+        loop_i=loop_i.astype(jnp.int32),
+        loop_j=loop_j.astype(jnp.int32),
+        loop_meas=loop_meas,
+        loop_mask=loop_mask,
+        loop_sigmas=jnp.asarray(cfg.loop_sigmas, dtype),
+    )
+
+
+def residuals(poses: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
+    """Whitened residual vector of the whole graph.
+
+    Factor error is Log(meas^-1 * (T_i^-1 T_j)) / sigmas — the
+    gtsam.BetweenFactorPose2 error model. Gated-out loop factors contribute
+    exactly zero.
+    """
+    T = se2.T_from_pose(poses)
+    Tinv = se2.inverse_T(T)
+
+    # prior on vertex 0 (reference: main.py:149-150)
+    T_prior = se2.T_from_pose(g.prior_pose)
+    r_prior = se2.log_se2(se2.inverse_T(T_prior) @ T[0]) / g.prior_sigmas
+
+    # consecutive between factors (reference: main.py:151-155)
+    rel = Tinv[:-1] @ T[1:]
+    r_btw = se2.log_se2(se2.inverse_T(g.between_meas) @ rel) / g.between_sigmas
+
+    # loop closures (reference: main.py:161-172)
+    rel_l = Tinv[g.loop_i] @ T[g.loop_j]
+    r_loop = se2.log_se2(se2.inverse_T(g.loop_meas) @ rel_l) / g.loop_sigmas
+    r_loop = jnp.where(g.loop_mask[:, None], r_loop, 0.0)
+
+    return jnp.concatenate([r_prior[None].reshape(-1), r_btw.reshape(-1),
+                            r_loop.reshape(-1)])
+
+
+def graph_cost(poses: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
+    r = residuals(poses, g)
+    return 0.5 * jnp.dot(r, r)
+
+
+class LMResult(NamedTuple):
+    poses: jnp.ndarray
+    cost: jnp.ndarray
+    iterations: jnp.ndarray
+    final_lambda: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+def optimize(
+    poses0: jnp.ndarray,
+    graph: PoseGraph,
+    max_iters: int = 50,
+    lambda_init: float = 1e-4,
+    lambda_up: float = 10.0,
+    lambda_down: float = 0.1,
+    cg_iters: int = 250,
+    cg_tol: float = 1e-8,
+    cost_rtol: float = 1e-9,
+) -> LMResult:
+    """Levenberg-Marquardt with matrix-free CG normal equations.
+
+    Replaces gtsam.LevenbergMarquardtOptimizer (reference: main.py:181-182).
+    Each step solves (J^T J + lam I) dx = -J^T r by CG where J^T J products
+    come from one jax.linearize + vjp pair — no Jacobian is ever
+    materialized. SE(2) variables (meters, radians) are naturally similarly
+    scaled, so identity damping behaves like GTSAM's on these graphs.
+    """
+    n = poses0.shape[0]
+    flat0 = poses0.reshape(-1)
+
+    def res_flat(xflat):
+        return residuals(xflat.reshape(n, 3), graph)
+
+    def step(state):
+        x, lam, cost, it, done, stalls = state
+        r = res_flat(x)
+        _, jvp = jax.linearize(res_flat, x)
+        vjp = jax.vjp(res_flat, x)[1]
+        g = vjp(r)[0]  # J^T r
+
+        def matvec(v):
+            return vjp(jvp(v))[0] + lam * v
+
+        dx, _ = jax.scipy.sparse.linalg.cg(matvec, -g, tol=cg_tol,
+                                           maxiter=cg_iters)
+        x_new = x + dx
+        r_new = res_flat(x_new)
+        cost_new = 0.5 * jnp.dot(r_new, r_new)
+        accept = cost_new < cost
+        x = jnp.where(accept, x_new, x)
+        lam = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+        improved = (cost - cost_new) > cost_rtol * jnp.maximum(cost, 1.0)
+        stalls = jnp.where(accept & improved, 0, stalls + 1)
+        done = (stalls >= 3) | (lam > 1e10)
+        cost = jnp.where(accept, cost_new, cost)
+        return (x, lam, cost, it + 1, done, stalls)
+
+    def cond(state):
+        _, _, _, it, done, _ = state
+        return (~done) & (it < max_iters)
+
+    r0 = res_flat(flat0)
+    cost0 = 0.5 * jnp.dot(r0, r0)
+    lam0 = jnp.asarray(lambda_init, flat0.dtype)
+    state = (flat0, lam0, cost0, jnp.asarray(0), jnp.asarray(False),
+             jnp.asarray(0))
+    x, lam, cost, it, _, _ = jax.lax.while_loop(cond, step, state)
+    return LMResult(poses=x.reshape(n, 3), cost=cost, iterations=it,
+                    final_lambda=lam)
+
+
+def optimize_with_config(poses0: jnp.ndarray, graph: PoseGraph,
+                         cfg: PoseGraphConfig = PoseGraphConfig()) -> LMResult:
+    return optimize(poses0, graph, max_iters=cfg.max_lm_iters,
+                    lambda_init=cfg.lambda_init, lambda_up=cfg.lambda_up,
+                    lambda_down=cfg.lambda_down, cg_iters=cfg.cg_iters,
+                    cg_tol=cfg.cg_tol)

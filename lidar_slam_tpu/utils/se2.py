@@ -122,3 +122,38 @@ def compose_chain(relative_Ts: jnp.ndarray, T0: jnp.ndarray | None = None) -> jn
 def wrap_angle(theta: jnp.ndarray) -> jnp.ndarray:
     """Wrap angles to (-pi, pi]."""
     return jnp.arctan2(jnp.sin(theta), jnp.cos(theta))
+
+
+def _ab(omega: jnp.ndarray):
+    """a = sin(w)/w, b = (1-cos(w))/w with series guards at w = 0."""
+    small = jnp.abs(omega) < 1e-6
+    w = jnp.where(small, 1.0, omega)
+    a = jnp.where(small, 1.0 - omega * omega / 6.0, jnp.sin(w) / w)
+    b = jnp.where(small, omega / 2.0, (1.0 - jnp.cos(w)) / w)
+    return a, b
+
+
+def log_se2(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(2) logarithm: (..., 3, 3) -> (..., 3) tangent (vx, vy, omega).
+
+    The full chart (with the V-matrix coupling of rotation into translation),
+    matching GTSAM's Pose2 log map — the error model of the factors the
+    reference builds (reference: main.py:148-172 via gtsam.BetweenFactorPose2).
+    """
+    omega = jnp.arctan2(T[..., 1, 0], T[..., 0, 0])
+    tx, ty = T[..., 0, 2], T[..., 1, 2]
+    a, b = _ab(omega)
+    den = a * a + b * b
+    # V^-1 = [[a, b], [-b, a]] / (a^2 + b^2)
+    vx = (a * tx + b * ty) / den
+    vy = (-b * tx + a * ty) / den
+    return jnp.stack([vx, vy, omega], axis=-1)
+
+
+def exp_se2(xi: jnp.ndarray) -> jnp.ndarray:
+    """SE(2) exponential: (..., 3) tangent (vx, vy, omega) -> (..., 3, 3)."""
+    vx, vy, omega = xi[..., 0], xi[..., 1], xi[..., 2]
+    a, b = _ab(omega)
+    tx = a * vx - b * vy
+    ty = b * vx + a * vy
+    return T_from_pose(jnp.stack([tx, ty, omega], axis=-1))
