@@ -1,0 +1,123 @@
+"""Benchmark: dataset-20-scale SLAM end-to-end on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md, measured on the reference's own NumPy code, 1 CPU
+core, dataset-20 shapes: 4,956 steps x 1,081 rays):
+  scan matching 4,955 pairs   ~77 s
+  OGM build 4,956 scans       ~287 s
+  loop-closure ICPs (~494)    ~8 s
+  -> ~372 s for the compute the reference spends nearly all its time in.
+
+This benchmark runs the SAME work (batched ICP scan matching + loop
+closures + pose-graph LM + log-odds map build) on synthetic data with
+dataset-20 shapes, on device, and reports wall-clock with compile excluded.
+vs_baseline = baseline_seconds / our_seconds (speedup factor).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def pathlib_cache():
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+BASELINE_SECONDS = 372.0
+N_STEPS = 4956
+N_RAYS = 1081
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib_cache()))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    sys.path.insert(0, ".")
+    from lidar_slam_tpu.config import IcpConfig, MapConfig, PoseGraphConfig, SlamConfig
+    from lidar_slam_tpu.models import occupancy, odometry, pose_graph, scan_matching
+    from lidar_slam_tpu.models.slam import compute_loop_closures, loop_closure_candidates
+    from lidar_slam_tpu.ops import icp as icp_ops
+    from lidar_slam_tpu.ops import scan as scan_ops
+    from lidar_slam_tpu.utils import io, se2
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    log("generating dataset-20-shaped synthetic data (2 seeds)...")
+    cfg = SlamConfig()
+    K = occupancy.max_ray_cells(cfg.map, 30.0)
+    cand = loop_closure_candidates(N_STEPS, 10)
+    chunk = 64
+
+    def prep(seed):
+        data = io.synthetic_dataset(n_steps=N_STEPS, n_rays=N_RAYS, seed=seed)
+        counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
+        gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)
+        ranges = jnp.asarray(data["lidar"]["ranges"], jnp.float32)
+        points, masks = scan_ops.scans_to_points(ranges, 0.1, 30.0, cfg.lidar)
+        return counts, gyro, points, masks, icp_ops.lift_to_3d(points)
+
+    # warm-up and timed runs use DIFFERENT data (same shapes): compiled code
+    # is reused, runtime result memoization is impossible
+    warm = prep(20)
+    timed = prep(21)
+
+    def pipeline(inputs):
+        counts, gyro, points, masks, pts3 = inputs
+        poses_odom = odometry.poses_from_odometry(counts, gyro)
+        sm = scan_matching.poses_from_scan_matching(
+            poses_odom, points, masks, cfg.icp, chunk_size=chunk)
+        max_d, max_y = odometry.max_step_gates(counts, gyro)
+        loop_T, accept, _, _ = compute_loop_closures(
+            pts3, masks, cand, 10, float(max_d), float(max_y),
+            chunk_size=chunk)
+        graph = pose_graph.make_graph(
+            sm.relative_poses, cfg.pose_graph,
+            loop_i=jnp.asarray(cand), loop_j=jnp.asarray(cand + 10),
+            loop_meas=loop_T, loop_mask=accept)
+        opt = pose_graph.optimize_with_config(sm.poses, graph, cfg.pose_graph)
+        grid = occupancy.build_logodds(opt.poses, points, masks, cfg.map, K)
+        return opt.poses, grid, sm, accept
+
+    # warm-up: compiles every kernel at the real shapes
+    log("warm-up (compiling)...")
+    t0 = time.time()
+    poses, grid, sm, accept = pipeline(warm)
+    poses.block_until_ready(); grid.block_until_ready()
+    log(f"warm-up done in {time.time() - t0:.1f}s "
+        f"(icp iters mean {float(jnp.mean(sm.iters)):.1f}, "
+        f"loops accepted {int(jnp.sum(accept))})")
+
+    log("timed run (fresh data)...")
+    t0 = time.time()
+    poses, grid, sm, accept = pipeline(timed)
+    poses.block_until_ready(); grid.block_until_ready()
+    elapsed = time.time() - t0
+
+    pairs_per_s = (N_STEPS - 1) / elapsed  # headline convenience numbers
+    log(f"e2e {elapsed:.2f}s | {pairs_per_s:.0f} scan-pairs/s equivalent | "
+        f"speedup vs reference CPU {BASELINE_SECONDS / elapsed:.1f}x")
+
+    print(json.dumps({
+        "metric": "dataset20_slam_e2e_seconds",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,7 @@ def icp_all_pairs(
     stopping_thresh: float = 1e-4,
     normalize_error: bool = False,
     chunk_size: int = 64,
+    planar: bool = True,
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -79,7 +80,8 @@ def icp_all_pairs(
         res = icp_ops.run_icp_batch(
             src_p[sl], tgt_p[sl], src_mask_p[sl], tgt_mask_p[sl], init_p[sl],
             epsilon=epsilon, max_iters=max_iters,
-            stopping_thresh=stopping_thresh, normalize_error=normalize_error)
+            stopping_thresh=stopping_thresh, normalize_error=normalize_error,
+            planar=planar)
         Ts.append(res.T)
         errs.append(res.error)
         its.append(res.iters)
@@ -114,7 +116,8 @@ def poses_from_scan_matching(
         pts3[1:], pts3[:-1], masks[1:], masks[:-1], seeds3,
         epsilon=cfg.epsilon, max_iters=cfg.max_iters,
         stopping_thresh=cfg.stopping_thresh,
-        normalize_error=cfg.normalize_error, chunk_size=chunk_size)
+        normalize_error=cfg.normalize_error, chunk_size=chunk_size,
+        planar=True)
 
     rel2 = se2.TSE2_from_TSE3(T_icp)  # (N-1, 3, 3)
     chain = se2.compose_chain(rel2)  # (N, 3, 3)

@@ -66,7 +66,8 @@ def compute_loop_closures(
     eye = jnp.tile(jnp.eye(4, dtype=points3.dtype), (B, 1, 1))
     T_icp, errors, iters = scan_matching.icp_all_pairs(
         src, tgt, sm, tm, eye,
-        epsilon=0.01, normalize_error=True, chunk_size=chunk_size)
+        epsilon=0.01, normalize_error=True, chunk_size=chunk_size,
+        planar=True)
     T2 = se2.TSE2_from_TSE3(T_icp)
     angle = jnp.arctan2(T2[:, 1, 0], T2[:, 0, 0])
     translation = jnp.linalg.norm(T2[:, :2, 2], axis=-1)

@@ -23,13 +23,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import einsum as p_einsum
+
 _BIG = 1e30
 
 
 def _pair_d2(pts: jnp.ndarray) -> jnp.ndarray:
     """(..., P, P) squared pairwise distances."""
     x2 = jnp.sum(pts * pts, axis=-1)
-    cross = jnp.einsum("...nd,...md->...nm", pts, pts)
+    cross = p_einsum("...nd,...md->...nm", pts, pts)
     d2 = x2[..., :, None] - 2.0 * cross + x2[..., None, :]
     return jnp.maximum(d2, 0.0)
 

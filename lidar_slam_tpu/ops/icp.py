@@ -29,8 +29,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .kabsch import kabsch
+from .kabsch import kabsch, kabsch_planar
 from .nn import nearest_neighbors
+from ..utils.precision import einsum as p_einsum, matmul as p_matmul
 
 _INF = jnp.inf
 
@@ -45,7 +46,7 @@ class IcpResult(NamedTuple):
 def _transform(pts: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+    return p_einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
 
 
 def _masked_minmax(pts: jnp.ndarray, mask: jnp.ndarray):
@@ -79,23 +80,31 @@ def icp_iteration(
     tgt_mask: jnp.ndarray,
     T_prev: jnp.ndarray,
     normalize_error: bool = False,
+    planar: bool = False,
 ):
     """One batched ICP iteration (reference semantics: modules/icp.py:100-121).
 
     Returns (T_next, correspondences, error) where error is measured at
-    T_prev (pre-update) like the reference.
+    T_prev (pre-update) like the reference. With planar=True (z = 0 clouds,
+    i.e. the whole 2-D SLAM pipeline) the rigid fit uses the closed-form
+    in-plane Kabsch instead of a rank-deficient 3x3 SVD — equivalent result,
+    no iterative SVD (which stalls on TPU for degenerate matrices).
     """
     src_t = _transform(src, T_prev)
     idx = nearest_neighbors(src_t, tgt, tgt_mask)
     matched = jnp.take_along_axis(tgt, idx[..., None], axis=-2)
-    T_fit = kabsch(src_t, matched, w=src_mask.astype(src.dtype))
-    T_next = T_fit @ T_prev
+    if planar:
+        T_fit = kabsch_planar(src_t[..., :2], matched[..., :2],
+                              w=src_mask.astype(src.dtype))
+    else:
+        T_fit = kabsch(src_t, matched, w=src_mask.astype(src.dtype))
+    T_next = p_matmul(T_fit, T_prev)
     err = _error(src_t, matched, src_mask, normalize_error)
     return T_next, idx, err
 
 
 @partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
-                                   "normalize_error"))
+                                   "normalize_error", "planar"))
 def run_icp_batch(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -106,6 +115,7 @@ def run_icp_batch(
     max_iters: int = 2000,
     stopping_thresh: float = 1e-4,
     normalize_error: bool = False,
+    planar: bool = False,
 ) -> IcpResult:
     """Run ICP to convergence for a whole batch of pairs.
 
@@ -138,7 +148,7 @@ def run_icp_batch(
 
     def body(c: Carry):
         T_new, idx, err = icp_iteration(src, tgt, src_mask, tgt_mask, c.T,
-                                        normalize_error)
+                                        normalize_error, planar=planar)
         live = ~c.done
         # stopping rules evaluated with this iteration's error
         hit_eps = err < epsilon
@@ -178,10 +188,15 @@ def run_icp(
     normalize_error: bool = False,
     pc1_mask: jnp.ndarray | None = None,
     pc2_mask: jnp.ndarray | None = None,
+    planar: bool | None = None,
 ) -> IcpResult:
     """Single-pair convenience wrapper mirroring the reference entry point
-    (reference: modules/icp.py:123-189). 2-D inputs are lifted to z = 0."""
-    pc1 = lift_to_3d(jnp.asarray(pc1))
+    (reference: modules/icp.py:123-189). 2-D inputs are lifted to z = 0 and
+    automatically use the closed-form planar solver."""
+    pc1 = jnp.asarray(pc1)
+    if planar is None:
+        planar = pc1.shape[-1] == 2
+    pc1 = lift_to_3d(pc1)
     pc2 = lift_to_3d(jnp.asarray(pc2))
     if init_transform is None:
         init_transform = jnp.eye(4, dtype=pc1.dtype)
@@ -193,6 +208,7 @@ def run_icp(
         pc1[None], pc2[None], pc1_mask[None], pc2_mask[None],
         jnp.asarray(init_transform)[None],
         epsilon=epsilon, max_iters=max_iters,
-        stopping_thresh=stopping_thresh, normalize_error=normalize_error)
+        stopping_thresh=stopping_thresh, normalize_error=normalize_error,
+        planar=planar)
     return IcpResult(T=res.T[0], error=res.error[0], iters=res.iters[0],
                      correspondences=res.correspondences[0])

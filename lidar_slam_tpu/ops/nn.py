@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.precision import einsum as p_einsum
+
 _BIG = 1e30
 
 
@@ -34,7 +36,7 @@ def nearest_neighbors(
     """
     # ||s||^2 - 2 s.t + ||t||^2 ; the ||s||^2 term is constant per row and
     # does not affect the argmin, so skip it.
-    cross = jnp.einsum("...nd,...md->...nm", src, tgt)
+    cross = p_einsum("...nd,...md->...nm", src, tgt)
     t2 = jnp.sum(tgt * tgt, axis=-1)
     d = t2[..., None, :] - 2.0 * cross
     if tgt_mask is not None:

@@ -1,0 +1,94 @@
+"""Sharded execution of the SLAM hot paths over a device mesh.
+
+Design (new surface — the reference is single-threaded, SURVEY.md section 5):
+
+  - ICP batches shard over "dp": every pair is independent, so pjit with a
+    batch sharding partitions the whole while_loop body (NN distance
+    matrices, Kabsch SVDs) with zero communication except the loop-condition
+    `any(~done)` reduction, which XLA lowers to a cheap all-reduce over ICI.
+  - Map building shards RAYS over the mesh inside shard_map: each device
+    scatter-adds its ray shard's +/-log4 contributions into a local grid
+    delta, a psum combines deltas over ICI, and the (replicated) carry grid
+    applies the reference's per-scan clip. This is exact — identical to the
+    sequential reference semantics, because within-scan contributions are a
+    pure sum.
+  - The pose-graph LM solve operates on (N, 3) poses — a few MB even at
+    100k poses — and runs replicated; its CG matvecs are chain-structured
+    and latency-bound, not a sharding target at this scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MapConfig
+from ..models.occupancy import scan_logodds_delta
+from ..ops.icp import IcpResult, run_icp_batch
+
+
+def sharded_icp_batch(mesh: Mesh, axis: str = "dp"):
+    """Return a jitted run_icp_batch whose pair batch is sharded over `axis`.
+
+    Pad the batch to a multiple of the axis size before calling."""
+    batch_sh = NamedSharding(mesh, P(axis))
+    t_sh = NamedSharding(mesh, P(axis))
+
+    def fn(src, tgt, src_mask, tgt_mask, init_T, **kw):
+        src = jax.device_put(src, batch_sh)
+        tgt = jax.device_put(tgt, batch_sh)
+        src_mask = jax.device_put(src_mask, batch_sh)
+        tgt_mask = jax.device_put(tgt_mask, batch_sh)
+        init_T = jax.device_put(init_T, t_sh)
+        return run_icp_batch(src, tgt, src_mask, tgt_mask, init_T, **kw)
+
+    return fn
+
+
+def sharded_build_logodds(mesh: Mesh, cfg: MapConfig, K: int,
+                          axis: str = "dp"):
+    """Return a jitted map builder sharding RAYS over `axis`.
+
+    poses (N, 3) replicated; points (N, R, 2) and masks (N, R) sharded on R.
+    R must be a multiple of the axis size (pad rays with mask=False)."""
+
+    @partial(jax.jit, static_argnames=())
+    def build(poses, points, masks):
+        def shard_fn(poses_l, points_l, masks_l):
+            def step(grid, inp):
+                pose, pts, m = inp
+                xs, ys, values = scan_logodds_delta(pose, pts, m, cfg, K)
+                delta = jnp.zeros((cfg.width, cfg.height), jnp.float32)
+                delta = delta.at[xs, ys].add(values, mode="drop")
+                delta = jax.lax.psum(delta, axis)
+                grid = jnp.clip(grid + delta, -cfg.logodds_clip,
+                                cfg.logodds_clip)
+                return grid, None
+
+            init = jnp.zeros((cfg.width, cfg.height), jnp.float32)
+            grid, _ = jax.lax.scan(step, init, (poses_l, points_l, masks_l))
+            return grid
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(None, axis, None), P(None, axis)),
+            out_specs=P(),
+        )(poses, points, masks)
+
+    return build
+
+
+def pad_batch(x: jnp.ndarray, multiple: int, axis: int = 0,
+              pad_value=0) -> Tuple[jnp.ndarray, int]:
+    """Pad `axis` up to a multiple; returns (padded, pad_count)."""
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, 0
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=pad_value), pad

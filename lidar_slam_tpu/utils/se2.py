@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .precision import einsum as p_einsum, matmul as p_matmul
+
 
 def T_from_pose(pose: jnp.ndarray) -> jnp.ndarray:
     """Pose (..., 3) -> SE(2) matrix (..., 3, 3). (reference: modules/utils.py:178-194)"""
@@ -71,7 +73,7 @@ def inverse_T(T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :d, :d]
     t = T[..., :d, d]
     Rt = jnp.swapaxes(R, -1, -2)
-    tinv = -jnp.einsum("...ij,...j->...i", Rt, t)
+    tinv = -p_einsum("...ij,...j->...i", Rt, t)
     out = jnp.broadcast_to(jnp.eye(d + 1, dtype=T.dtype), T.shape)
     out = out.at[..., :d, :d].set(Rt)
     out = out.at[..., :d, d].set(tinv)
@@ -83,7 +85,7 @@ def get_relative_pose(pose_t1: jnp.ndarray, pose_t2: jnp.ndarray) -> jnp.ndarray
     (reference: modules/utils.py:161-176, modules/localization.py:162-177)"""
     T1 = T_from_pose(pose_t1)
     T2 = T_from_pose(pose_t2)
-    return inverse_T(T1) @ T2
+    return p_matmul(inverse_T(T1), T2)
 
 
 def transform_points(points: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
@@ -99,7 +101,7 @@ def transform_points(points: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
         )
     R = T[..., :d, :d]
     t = T[..., :d, d]
-    return jnp.einsum("...ij,...nj->...ni", R, points) + t[..., None, :]
+    return p_einsum("...ij,...nj->...ni", R, points) + t[..., None, :]
 
 
 def compose_chain(relative_Ts: jnp.ndarray, T0: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -116,7 +118,7 @@ def compose_chain(relative_Ts: jnp.ndarray, T0: jnp.ndarray | None = None) -> jn
     if T0 is None:
         T0 = eye
     chain = jnp.concatenate([T0[None], relative_Ts], axis=0)  # (N+1, 3, 3)
-    return jax.lax.associative_scan(jnp.matmul, chain)
+    return jax.lax.associative_scan(p_matmul, chain)
 
 
 def wrap_angle(theta: jnp.ndarray) -> jnp.ndarray:

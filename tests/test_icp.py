@@ -211,6 +211,37 @@ def test_icp_masked_equals_filtered():
     assert int(res_masked.iters) == want_iters
 
 
+def test_kabsch_planar_equals_svd_on_planar_data():
+    from lidar_slam_tpu.ops.kabsch import kabsch_planar
+    rng = np.random.default_rng(11)
+    A2 = rng.normal(size=(120, 2))
+    R2 = _rot(0.4)[:2, :2]
+    B2 = A2 @ R2.T + np.array([0.3, -0.7]) + rng.normal(0, 0.05, A2.shape)
+    w = (rng.random(120) > 0.2).astype(np.float64)
+
+    A3 = np.hstack([A2, np.zeros((120, 1))])
+    B3 = np.hstack([B2, np.zeros((120, 1))])
+    T_svd = np.asarray(kabsch(jnp.asarray(A3), jnp.asarray(B3), jnp.asarray(w)))
+    T_pl = np.asarray(kabsch_planar(jnp.asarray(A2), jnp.asarray(B2),
+                                    jnp.asarray(w)))
+    np.testing.assert_allclose(T_pl[:2, :2], T_svd[:2, :2], atol=1e-9)
+    np.testing.assert_allclose(T_pl[:2, 3], T_svd[:2, 3], atol=1e-9)
+
+
+def test_icp_planar_equals_3d_svd_path():
+    rng = np.random.default_rng(12)
+    src2 = rng.normal(size=(150, 2))
+    tgt2 = src2 @ _rot(0.1)[:2, :2].T + np.array([0.05, -0.03]) \
+        + rng.normal(0, 0.01, src2.shape)
+    r_planar = icp_ops.run_icp(jnp.asarray(src2), jnp.asarray(tgt2),
+                               epsilon=1e-4, planar=True)
+    r_svd = icp_ops.run_icp(jnp.asarray(src2), jnp.asarray(tgt2),
+                            epsilon=1e-4, planar=False)
+    np.testing.assert_allclose(np.asarray(r_planar.T), np.asarray(r_svd.T),
+                               atol=1e-8)
+    assert int(r_planar.iters) == int(r_svd.iters)
+
+
 def test_icp_max_iters_cap():
     rng = np.random.default_rng(10)
     src = _cloud(rng, 80)

@@ -1,0 +1,75 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_slam_tpu.config import MapConfig
+from lidar_slam_tpu.models import occupancy
+from lidar_slam_tpu.ops.icp import run_icp_batch
+from lidar_slam_tpu.parallel import mesh as mesh_lib
+from lidar_slam_tpu.parallel import sharding
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _pairs(rng, B, P):
+    src = rng.normal(size=(B, P, 3)) * [1, 1, 0.2]
+    yaw = rng.uniform(-0.2, 0.2, B)
+    T = np.tile(np.eye(4), (B, 1, 1))
+    tgt = np.empty_like(src)
+    for b in range(B):
+        c, s = np.cos(yaw[b]), np.sin(yaw[b])
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        tgt[b] = src[b] @ R.T + rng.uniform(-0.1, 0.1, 3)
+    return jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(T)
+
+
+def test_mesh_construction():
+    m1 = mesh_lib.make_mesh(8)
+    assert m1.devices.shape == (8,)
+    m2 = mesh_lib.make_mesh(8, axes=("dp", "rp"))
+    assert m2.devices.size == 8 and len(m2.devices.shape) == 2
+
+
+def test_sharded_icp_matches_single_device():
+    rng = np.random.default_rng(0)
+    B, P = 16, 64
+    src, tgt, T0 = _pairs(rng, B, P)
+    ones = jnp.ones((B, P), bool)
+
+    ref = run_icp_batch(src, tgt, ones, ones, T0, epsilon=1e-8)
+
+    m = mesh_lib.make_mesh(8)
+    fn = sharding.sharded_icp_batch(m)
+    got = fn(src, tgt, ones, ones, T0, epsilon=1e-8)
+    np.testing.assert_allclose(np.asarray(got.T), np.asarray(ref.T), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(got.iters), np.asarray(ref.iters))
+
+
+def test_sharded_map_matches_single_device():
+    cfg = MapConfig(resolution=0.1, world_max_x=8, world_min_x=-8,
+                    world_max_y=8, world_min_y=-8)
+    rng = np.random.default_rng(1)
+    N, R = 6, 64  # R divisible by 8
+    poses = jnp.asarray(np.cumsum(rng.normal(0, 0.05, (N, 3)), axis=0))
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    r = rng.uniform(0.3, 6.0, (N, R))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1))
+    masks = jnp.asarray(rng.random((N, R)) > 0.05)
+    K = occupancy.max_ray_cells(cfg, 6.0)
+
+    ref = occupancy.build_logodds(poses, pts, masks, cfg, K)
+
+    m = mesh_lib.make_mesh(8)
+    build = sharding.sharded_build_logodds(m, cfg, K)
+    got = build(poses, pts, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pad_batch():
+    x = jnp.ones((5, 3))
+    padded, pad = sharding.pad_batch(x, 8)
+    assert padded.shape == (8, 3) and pad == 3
+    y, pad0 = sharding.pad_batch(x, 5)
+    assert y.shape == (5, 3) and pad0 == 0
