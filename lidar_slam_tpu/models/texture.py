@@ -1,0 +1,227 @@
+"""RGB-D floor texture mapping.
+
+Capability parity with the reference texture stage
+(reference: modules/texture_mapping.py:7-240, driver main.py:213-247),
+redesigned TPU-first. The reference loops over RGB frames on the host,
+decoding two PNGs and chaining five frame transforms per iteration; here
+
+  - PNG decode is the native C++ batch loader (libpng + thread pool,
+    native/slamio.cpp) feeding pinned host arrays;
+  - the whole unproject chain (disparity -> depth -> K^-1 ray -> optical ->
+    camera -> robot -> world) is one fused jitted function over a BATCH of
+    frames;
+  - painting is a global scatter-max of point sequence numbers: the
+    reference's per-frame in-place fancy assignment keeps the LAST write per
+    cell (later frames and later points win, texture_mapping.py:96); a
+    scatter-max of global point indices followed by one gather reproduces
+    that winner exactly with no sequential loop.
+
+Replicated reference quirks:
+  - get_rgbi_rgbj is called with DEPTH, not the disparity-derived dd
+    (texture_mapping.py:198 passes depth_flat into the dd slot) — faithful;
+  - no z filter on "floor" points (texture_mapping.py:83-84);
+  - the texture base is the 0/1 occupancy grid_map replicated to 3 channels
+    and divided by 255 at the end, so the background is near-black.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CameraConfig, MapConfig
+from ..utils.precision import einsum as p_einsum
+from . import occupancy
+
+
+def camera_matrices(cfg: CameraConfig):
+    """K, T_rc (camera->robot), R_oc (optical<-camera) as numpy
+    (reference: main.py:217-232, modules/texture_mapping.py:212-217)."""
+    K = np.array([[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1.0]])
+    pitch = np.radians(cfg.pitch_deg)
+    R_rc = np.array([
+        [np.cos(pitch), 0, np.sin(pitch)],
+        [0, 1, 0],
+        [-np.sin(pitch), 0, np.cos(pitch)],
+    ])
+    T_rc = np.eye(4)
+    T_rc[:3, :3] = R_rc
+    T_rc[:3, 3] = cfg.p_rc
+    R_oc = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    return K, T_rc, R_oc
+
+
+def get_depth_image(disparity: jnp.ndarray, cfg: CameraConfig = CameraConfig()):
+    """Disparity -> depth (reference: modules/texture_mapping.py:134-145)."""
+    dd = cfg.disp_a * disparity + cfg.disp_b
+    return cfg.depth_scale / dd
+
+
+def get_rgbi_rgbj(i, j, dd, cfg: CameraConfig = CameraConfig()):
+    """Depth-registered RGB pixel coordinates
+    (reference: modules/texture_mapping.py:147-163)."""
+    rgbi = (cfg.reg_scale * i + cfg.reg_i_off - cfg.reg_dd * dd) / cfg.reg_div
+    rgbj = (cfg.reg_scale * j + cfg.reg_j_off) / cfg.reg_div
+    return rgbi, rgbj
+
+
+@partial(jax.jit, static_argnames=("map_cfg", "cam_cfg"))
+def frames_to_cells(
+    disparity: jnp.ndarray,  # (B, H, W) float32
+    rgb: jnp.ndarray,  # (B, H, W, 3) uint8
+    poses: jnp.ndarray,  # (B, 3) robot pose per frame
+    map_cfg: MapConfig,
+    cam_cfg: CameraConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused unproject chain for a batch of frames.
+
+    Returns flat (B*H*W,) cell linear indices (or -1 when invalid), colors
+    (B*H*W, 3) uint8, in point order (frame-major) so index order equals the
+    reference's write order.
+    """
+    K, T_rc, R_oc = camera_matrices(cam_cfg)
+    Kinv = jnp.asarray(np.linalg.inv(K), disparity.dtype)
+    # camera <- optical is inv(T_oc) where T_oc rotates by R_oc
+    R_co = jnp.asarray(R_oc.T, disparity.dtype)
+    T_rc = jnp.asarray(T_rc, disparity.dtype)
+
+    B, H, W = disparity.shape
+    depth = get_depth_image(disparity, cam_cfg)  # (B, H, W)
+
+    ii = jnp.arange(H, dtype=disparity.dtype)[:, None]  # (H, 1)
+    jj = jnp.arange(W, dtype=disparity.dtype)[None, :]  # (1, W)
+    ii = jnp.broadcast_to(ii, (H, W))
+    jj = jnp.broadcast_to(jj, (H, W))
+
+    # pixel -> optical-frame ray * depth (note the reference uses (j, i, 1),
+    # texture_mapping.py:194)
+    pix = jnp.stack([jj, ii, jnp.ones_like(ii)], axis=-1)  # (H, W, 3)
+    rays = p_einsum("de,hwe->hwd", Kinv, pix)  # (H, W, 3)
+    xyz_o = rays[None] * depth[..., None]  # (B, H, W, 3)
+
+    # RGB registration (reference passes depth into the dd slot, :198)
+    rgbi, rgbj = get_rgbi_rgbj(ii[None], jj[None], depth, cam_cfg)
+    valid = (rgbi >= 0) & (rgbi < H) & (rgbj >= 0) & (rgbj < W)
+    ri = jnp.clip(rgbi.astype(jnp.int32), 0, H - 1)
+    rj = jnp.clip(rgbj.astype(jnp.int32), 0, W - 1)
+    colors = jnp.take_along_axis(
+        rgb.reshape(B, H * W, 3),
+        (ri * W + rj).reshape(B, H * W)[..., None], axis=1)  # (B, H*W, 3)
+
+    # optical -> camera -> robot
+    xyz_c = p_einsum("de,bhwe->bhwd", R_co, xyz_o)
+    xyz_r = p_einsum("de,bhwe->bhwd", T_rc[:3, :3], xyz_c) + T_rc[:3, 3]
+
+    # robot -> world by pose yaw (reference: texture_mapping.py:70-81)
+    yaw = poses[:, 2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    xw = c[:, None, None] * xyz_r[..., 0] - s[:, None, None] * xyz_r[..., 1] \
+        + poses[:, 0][:, None, None]
+    yw = s[:, None, None] * xyz_r[..., 0] + c[:, None, None] * xyz_r[..., 1] \
+        + poses[:, 1][:, None, None]
+
+    gi, gj = occupancy.world2grid(xw, yw, map_cfg)
+    in_map = (gi >= 0) & (gi < map_cfg.width) & (gj >= 0) & (gj < map_cfg.height)
+    ok = valid & in_map
+    lin = jnp.where(ok, gi * map_cfg.height + gj, -1)
+    return lin.reshape(-1), colors.reshape(-1, 3), ok.reshape(-1)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def paint_cells(winner: jnp.ndarray, lin: jnp.ndarray,
+                base_index) -> jnp.ndarray:
+    """Scatter-max global point sequence numbers into the cell-winner map.
+
+    Invalid points carry value -1, which never beats a real winner (int32
+    sequence numbers cover ~7000 frames of 480x640 points)."""
+    seq = base_index + jnp.arange(lin.shape[0], dtype=jnp.int32)
+    upd = jnp.where(lin >= 0, seq, -1)
+    safe = jnp.where(lin >= 0, lin, 0)
+    return winner.at[safe].max(upd)
+
+
+def generate_texture_map(
+    poses: np.ndarray,
+    rgb_pose_indices: np.ndarray,
+    disp_for_rgb: np.ndarray,
+    grid_map: np.ndarray,
+    load_frame_batch: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
+    map_cfg: MapConfig = MapConfig(),
+    cam_cfg: CameraConfig = CameraConfig(),
+    batch_size: int = 8,
+) -> np.ndarray:
+    """Build the texture map.
+
+    poses (N, 3); rgb_pose_indices (F,) pose index per RGB frame;
+    disp_for_rgb (F,) disparity frame index per RGB frame;
+    load_frame_batch(frame_ids) -> (disparity (b, H, W) float32,
+    rgb (b, H, W, 3) uint8) host loader (disk via native decoder, or
+    synthetic injection in tests).
+
+    Returns (W, H, 3) float32 texture (reference: texture_mapping.py:98).
+    """
+    W, Hn = map_cfg.width, map_cfg.height
+    winner = jnp.full((W * Hn,), -1, dtype=jnp.int32)
+    all_colors = []
+    base = 0
+    F = len(rgb_pose_indices)
+    for s in range(0, F, batch_size):
+        ids = np.arange(s, min(s + batch_size, F))
+        disp, rgb = load_frame_batch(ids)
+        lin, colors, ok = frames_to_cells(
+            jnp.asarray(disp, jnp.float32), jnp.asarray(rgb),
+            jnp.asarray(poses[rgb_pose_indices[ids]], jnp.float32),
+            map_cfg, cam_cfg)
+        winner = paint_cells(winner, lin, jnp.int32(base))
+        all_colors.append(np.asarray(colors))
+        base += int(lin.shape[0])
+
+    winner_np = np.asarray(winner)
+    colors_np = np.concatenate(all_colors, axis=0) if all_colors else \
+        np.zeros((0, 3), np.uint8)
+
+    # base texture: 0/1 occupancy replicated to 3 channels
+    # (reference: texture_mapping.py:46-48)
+    tex = np.repeat(np.asarray(grid_map, np.uint8)[..., None], 3, axis=2)
+    tex = tex.reshape(-1, 3).astype(np.float32)
+    has = winner_np >= 0
+    tex[has] = colors_np[winner_np[has]].astype(np.float32)
+    return (tex / 255.0).reshape(W, Hn, 3)
+
+
+def plot_texture_map(texture_map: np.ndarray, fname: str) -> None:
+    """Save the float texture as a PNG (reference: texture_mapping.py:101-116)."""
+    from ..utils.png import write_png
+    img = np.clip(np.asarray(texture_map) * 255.0, 0, 255).astype(np.uint8)
+    write_png(fname, img)
+
+
+def disk_frame_loader(dataset_num: int, disp_for_rgb: np.ndarray,
+                      data_root: str = "dataRGBD",
+                      shape: Tuple[int, int] = (480, 640)):
+    """Frame loader over the reference's on-disk layout
+    (reference: texture_mapping.py:54-62 — disparity indexed by the
+    0-based sync index, rgb by rgb_idx + 1)."""
+    from ..utils import native
+    from ..utils.png import read_png
+
+    H, W = shape
+
+    def load(ids: np.ndarray):
+        dpaths = [f"{data_root}/Disparity{dataset_num}/disparity{dataset_num}_"
+                  f"{int(disp_for_rgb[i])}.png" for i in ids]
+        rpaths = [f"{data_root}/RGB{dataset_num}/rgb{dataset_num}_"
+                  f"{int(i) + 1}.png" for i in ids]
+        if native.available():
+            disp = native.read_png_batch(dpaths, (H, W), np.uint16)
+            rgb = native.read_png_batch(rpaths, (H, W, 3), np.uint8)
+        else:
+            disp = np.stack([read_png(p) for p in dpaths])
+            rgb = np.stack([read_png(p) for p in rpaths])
+        return disp.astype(np.float32), rgb
+
+    return load

@@ -34,6 +34,15 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     path = os.path.abspath(_lib_path())
     if not os.path.exists(path):
+        # build on demand (g++ + libpng are part of the toolchain)
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(path)],
+                           capture_output=True, timeout=120, check=True)
+        except Exception:
+            return None
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)
@@ -49,6 +58,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.slamio_read_png_u8.restype = ctypes.c_int
         lib.slamio_read_png_u16.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
         lib.slamio_read_png_u16.restype = ctypes.c_int
+        for name in ("slamio_read_png_batch_u8", "slamio_read_png_batch_u16"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                           ctypes.c_void_p, ctypes.c_longlong,
+                           ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+            fn.restype = ctypes.c_int
         _LIB = lib
     except OSError:
         _LIB = None
@@ -81,4 +96,27 @@ def read_png(path: str) -> np.ndarray:
         rc = lib.slamio_read_png_u8(path.encode(), out.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         raise IOError(f"native PNG decode failed for {path} (rc={rc})")
+    return out
+
+
+def read_png_batch(paths, shape, dtype, n_threads: int = 4) -> np.ndarray:
+    """Decode a batch of same-shaped PNGs with the native thread pool.
+
+    shape: per-image (H, W[, C]); dtype: np.uint8 or np.uint16. Returns
+    (N, *shape). Raises on the first failed file.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run `make -C native`)")
+    n = len(paths)
+    out = np.empty((n,) + tuple(shape), dtype=dtype)
+    rcs = (ctypes.c_int * n)()
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    stride = int(np.prod(shape))
+    fn = (lib.slamio_read_png_batch_u16 if dtype == np.uint16
+          else lib.slamio_read_png_batch_u8)
+    fn(c_paths, n, out.ctypes.data_as(ctypes.c_void_p), stride, rcs, n_threads)
+    for i in range(n):
+        if rcs[i] != 0:
+            raise IOError(f"native PNG decode failed for {paths[i]} (rc={rcs[i]})")
     return out

@@ -27,10 +27,15 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def write_png(path: str, image: np.ndarray) -> None:
-    """Write a (H, W) grayscale or (H, W, 3) RGB uint8 array as PNG."""
+    """Write (H, W) gray (uint8/uint16) or (H, W, 3) RGB uint8 as PNG."""
     image = np.asarray(image)
-    if image.dtype != np.uint8:
-        raise ValueError(f"write_png expects uint8, got {image.dtype}")
+    depth = 8
+    if image.dtype == np.uint16:
+        if image.ndim != 2:
+            raise ValueError("16-bit write supports grayscale only")
+        depth = 16
+    elif image.dtype != np.uint8:
+        raise ValueError(f"write_png expects uint8/uint16, got {image.dtype}")
     if image.ndim == 2:
         color_type = 0  # grayscale
         h, w = image.shape
@@ -42,11 +47,14 @@ def write_png(path: str, image: np.ndarray) -> None:
     else:
         raise ValueError(f"write_png expects (H,W) or (H,W,3), got {image.shape}")
 
+    if depth == 16:
+        raw = raw.astype(">u2")  # PNG 16-bit samples are big-endian
+
     # Filter type 0 (None) per scanline.
     scanlines = b"".join(
         b"\x00" + raw[y].tobytes() for y in range(h)
     )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     data = (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)

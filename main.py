@@ -1,0 +1,163 @@
+"""CLI driver: the reference's exact flag surface on the TPU-native engine.
+
+Same flags, defaults, output paths, and stage banners as the reference
+driver (reference: main.py:14-247, README.md:5-55):
+
+  python main.py --mode gtsam --filter_lidar --generate_texture_map \
+      --dataset 20 --dataset_path data/
+
+Stage artifacts go to outputs/ with the reference's file names; map images
+go to images/ or images_filtered/ depending on --filter_lidar, suffixed
+_{mode}_{dataset}.png. When the dataset npz files are absent, pass
+--synthetic N to run on a generated dataset-20-shaped world instead (the
+real datasets are not shipped upstream; .gitignore:7-8).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Generate an Occupancy Grid Map")
+    # Pose estimation settings (reference: main.py:17-20)
+    parser.add_argument("--mode", type=str, default="odom",
+                        help="The mode to use for pose estimation")
+    parser.add_argument("--filter_lidar", action="store_true",
+                        help="Filter the lidar data")
+    parser.add_argument("--fixed_interval", type=int, default=10,
+                        help="The fixed interval for loop closure")
+    # Dataset settings (reference: main.py:22-24)
+    parser.add_argument("--dataset", type=int, default=20,
+                        help="The dataset number")
+    parser.add_argument("--dataset_path", type=str, default="data/",
+                        help="The path to the dataset")
+    # Occupancy Grid Map settings (reference: main.py:26-29)
+    parser.add_argument("--res", type=float, default=0.05,
+                        help="The resolution of the map")
+    parser.add_argument("--width", type=int, default=60,
+                        help="The width of the map")
+    parser.add_argument("--height", type=int, default=60,
+                        help="The height of the map")
+    # Generated images settings (reference: main.py:31-33)
+    parser.add_argument("--logodds_map_path", type=str,
+                        default="logodds_map.png",
+                        help="The path to save the map")
+    parser.add_argument("--texture_map_path", type=str,
+                        default="texture_map.png",
+                        help="The path to save the texture map")
+    # Misc. settings (reference: main.py:35-36)
+    parser.add_argument("--generate_texture_map", action="store_true",
+                        help="Generate the texture map")
+    # Extensions beyond the reference surface
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="Run on an N-step synthetic dataset instead of "
+                             "reading npz files")
+    parser.add_argument("--output_dir", type=str, default="outputs/",
+                        help="Directory for stage .npy artifacts")
+    return parser
+
+
+def banner(text):
+    print("=" * 52)
+    print(text)
+    print("=" * 52)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from lidar_slam_tpu import sensors
+    from lidar_slam_tpu.config import MapConfig, SlamConfig
+    from lidar_slam_tpu.models import slam, texture
+    from lidar_slam_tpu.models.occupancy import OccupancyGridMap
+    from lidar_slam_tpu.utils import io
+
+    dataset_num = args.dataset
+
+    # output path derivation (reference: main.py:49-56)
+    img_dir = "images_filtered/" if args.filter_lidar else "images/"
+    logodds_map_path = img_dir + args.logodds_map_path
+    texture_map_path = img_dir + args.texture_map_path
+    logodds_map_path = (logodds_map_path.split(".")[0] + "_" + args.mode
+                        + "_" + str(dataset_num) + ".png")
+    texture_map_path = (texture_map_path.split(".")[0] + "_" + args.mode
+                        + "_" + str(dataset_num) + ".png")
+
+    banner("Command line arguments")
+    for arg in vars(args):
+        print(f"{arg}: {getattr(args, arg)}")
+    print(f"output: {args.output_dir}")
+    print("\n")
+
+    banner("Loading the dataset and synchronizing the sensors...")
+    if args.synthetic:
+        data = io.synthetic_dataset(n_steps=args.synthetic)
+        print(f"(synthetic dataset, {args.synthetic} steps)")
+    else:
+        data = io.load_data(dataset_num, io.DATASET_NAMES, args.dataset_path)
+    encoder = sensors.Encoder.from_data(data["encoder"])
+    lidar = sensors.Lidar.from_data(data["lidar"])
+    imu = sensors.Imu.from_data(data["imu"])
+    kinect = sensors.Kinect.from_data(data["rgbd"])
+    sensors.synchronize_sensors(encoder, imu, lidar, base_sensor_index=0)
+    print("Done!\n\n")
+
+    banner("Running the TPU SLAM pipeline...")
+    cfg = SlamConfig(map=MapConfig.from_cli(args.res, args.width, args.height))
+    result = slam.run_slam(
+        encoder.counts_synced, imu.gyro_synced, lidar.ranges_synced,
+        float(lidar.range_min), float(lidar.range_max),
+        mode=args.mode, filter_lidar=args.filter_lidar,
+        fixed_interval=args.fixed_interval, cfg=cfg,
+        build_map=args.generate_texture_map)
+
+    out = args.output_dir
+    io.save_numpy(result.poses_odom, os.path.join(out, f"poses_odom_{dataset_num}.npy"))
+    io.save_numpy(result.relative_poses_odom,
+                  os.path.join(out, f"relative_poses_odom_{dataset_num}.npy"))
+    print(f"poses_odom_{dataset_num}.npy saved at {out}")
+    print(f"relative_poses_odom_{dataset_num}.npy saved at {out}")
+    if result.poses_scan_matching is not None:
+        io.save_numpy(result.poses_scan_matching,
+                      os.path.join(out, f"poses_scan_matching_{dataset_num}.npy"))
+        io.save_numpy(result.relative_poses_scan_matching,
+                      os.path.join(out, f"relative_poses_scan_matching_{dataset_num}.npy"))
+        print(f"poses_scan_matching_{dataset_num}.npy saved at {out}")
+        print(f"relative_poses_scan_matching_{dataset_num}.npy saved at {out}")
+    if result.poses_optimized is not None:
+        io.save_numpy(result.poses_optimized,
+                      os.path.join(out, f"poses_optimized_{dataset_num}.npy"))
+        print(f"Added {result.n_loop_closures} loop closures")
+        print(f"poses_optimized_{dataset_num}.npy saved at {out}")
+    print("\n")
+
+    if args.generate_texture_map:
+        banner("Generating occupancy map...")
+        ogm = OccupancyGridMap(cfg=cfg.map, range_max=float(lidar.range_max))
+        ogm.grid_map_log_odds = result.logodds
+        ogm.grid_map = result.grid_map
+        os.makedirs(os.path.dirname(logodds_map_path) or ".", exist_ok=True)
+        ogm.plot_log_odds_map(logodds_map_path)
+        print(f"Occupancy (logodds) map saved at: {logodds_map_path}\n\n")
+
+        banner("Generating the texture map...")
+        rgb_pose_idx = sensors.Kinect.get_closest_stamps(
+            encoder.stamps, kinect.rgb_stamps)
+        disp_for_rgb = sensors.Kinect.get_closest_stamps(
+            kinect.disp_stamps, kinect.rgb_stamps)
+        if args.synthetic:
+            print("(no RGBD frames for synthetic data; skipping texture)")
+        else:
+            loader = texture.disk_frame_loader(dataset_num, disp_for_rgb)
+            tex = texture.generate_texture_map(
+                result.poses, rgb_pose_idx, disp_for_rgb, result.grid_map,
+                loader, cfg.map, cfg.camera)
+            texture.plot_texture_map(tex, texture_map_path)
+            print(f"Texture map saved at: {texture_map_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_slam_tpu.config import CameraConfig, MapConfig
+from lidar_slam_tpu.models import texture
+
+
+def _np_texture_reference(poses, rgb_pose_indices, disp_frames, rgb_frames,
+                          grid_map, map_cfg, cam_cfg):
+    """Independent numpy spec model of the reference texture pipeline
+    (spec: modules/texture_mapping.py:7-99,134-224)."""
+    K, T_rc, R_oc = texture.camera_matrices(cam_cfg)
+    K_inv = np.linalg.inv(K)
+    T_oc = np.eye(4)
+    T_oc[:3, :3] = R_oc
+
+    tex = np.repeat(np.asarray(grid_map, np.uint8)[..., None], 3, axis=2).copy()
+    for f in range(len(rgb_pose_indices)):
+        disp = disp_frames[f].astype(np.float32)
+        rgb = rgb_frames[f]
+        h, w = disp.shape
+        ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        ii, jj = ii.flatten(), jj.flatten()
+        depth = (cam_cfg.depth_scale /
+                 (cam_cfg.disp_a * disp + cam_cfg.disp_b)).flatten()
+
+        pix = np.stack([jj, ii, np.ones_like(ii)], axis=-1)
+        xyz = (K_inv @ pix.T).T * depth[:, None]
+
+        # reference passes depth into the dd slot (texture_mapping.py:198)
+        rgbi = (cam_cfg.reg_scale * ii + cam_cfg.reg_i_off
+                - cam_cfg.reg_dd * depth) / cam_cfg.reg_div
+        rgbj = (cam_cfg.reg_scale * jj + cam_cfg.reg_j_off) / cam_cfg.reg_div
+        valid = (0 <= rgbi) & (rgbi < h) & (0 <= rgbj) & (rgbj < w)
+        vi = np.clip(rgbi[valid].astype(int), 0, h - 1)
+        vj = np.clip(rgbj[valid].astype(int), 0, w - 1)
+        colors = rgb[vi, vj]
+        xyz = xyz[valid]
+
+        # optical -> camera -> robot -> world
+        xyz = (np.linalg.inv(T_oc)[:3, :3] @ xyz.T).T
+        xyz = (T_rc[:3, :3] @ xyz.T).T + T_rc[:3, 3]
+        x, y, yaw = poses[rgb_pose_indices[f]]
+        R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                      [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]])
+        xyz = (R @ xyz.T).T + np.array([x, y, 0.0])
+
+        gi = np.ceil((xyz[:, 0] - map_cfg.world_min_x) / map_cfg.resolution
+                     ).astype(int) - 1
+        gj = np.ceil((xyz[:, 1] - map_cfg.world_min_y) / map_cfg.resolution
+                     ).astype(int) - 1
+        ok = (gi >= 0) & (gi < map_cfg.width) & (gj >= 0) & (gj < map_cfg.height)
+        tex[gi[ok], gj[ok]] = colors[ok]
+    return tex.astype(np.float32) / 255.0
+
+
+def _synthetic_frames(rng, n_frames, h=24, w=32):
+    # disparity values giving positive depth: dd = -0.00304 d + 3.31 > 0
+    disp = rng.uniform(300, 900, (n_frames, h, w)).astype(np.float32)
+    rgb = rng.integers(0, 255, (n_frames, h, w, 3)).astype(np.uint8)
+    return disp, rgb
+
+
+def test_texture_matches_reference_spec():
+    rng = np.random.default_rng(0)
+    map_cfg = MapConfig(resolution=0.1, world_max_x=8, world_min_x=-8,
+                        world_max_y=8, world_min_y=-8)
+    cam = CameraConfig()
+    n_frames = 3
+    disp, rgb = _synthetic_frames(rng, n_frames)
+    poses = rng.normal(0, 1.0, (10, 3))
+    rgb_pose = np.array([1, 4, 7])
+    grid_map = rng.integers(0, 2, (map_cfg.width, map_cfg.height)).astype(np.uint8)
+
+    def loader(ids):
+        return disp[ids], rgb[ids]
+
+    got = texture.generate_texture_map(
+        poses, rgb_pose, np.arange(n_frames), grid_map, loader,
+        map_cfg, cam, batch_size=2)
+    want = _np_texture_reference(poses, rgb_pose, disp, rgb, grid_map,
+                                 map_cfg, cam)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_texture_last_frame_wins():
+    """Two frames painting the same cells: the later frame's colors stay."""
+    rng = np.random.default_rng(1)
+    map_cfg = MapConfig(resolution=0.1, world_max_x=8, world_min_x=-8,
+                        world_max_y=8, world_min_y=-8)
+    cam = CameraConfig()
+    disp, rgb = _synthetic_frames(rng, 2)
+    disp[1] = disp[0]  # same geometry
+    poses = np.zeros((2, 3))
+    grid_map = np.zeros((map_cfg.width, map_cfg.height), np.uint8)
+
+    got = texture.generate_texture_map(
+        poses, np.array([0, 1]), np.arange(2), grid_map,
+        lambda ids: (disp[ids], rgb[ids]), map_cfg, cam, batch_size=1)
+    want = _np_texture_reference(poses, np.array([0, 1]), disp, rgb,
+                                 grid_map, map_cfg, cam)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_depth_and_registration_formulas():
+    cam = CameraConfig()
+    d = jnp.asarray([600.0])
+    depth = texture.get_depth_image(d, cam)
+    np.testing.assert_allclose(np.asarray(depth),
+                               1.03 / (-0.00304 * 600 + 3.31), rtol=1e-6)
+    ri, rj = texture.get_rgbi_rgbj(jnp.asarray([5.0]), jnp.asarray([7.0]),
+                                   jnp.asarray([2.0]), cam)
+    np.testing.assert_allclose(np.asarray(ri),
+                               (526.37 * 5 + 19276 - 7877.07 * 2) / 585.051,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rj), (526.37 * 7 + 16662) / 585.051,
+                               rtol=1e-6)
+
+
+def test_png_16bit_roundtrip(tmp_path):
+    from lidar_slam_tpu.utils.png import read_png, write_png
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 65535, (20, 30)).astype(np.uint16)
+    write_png(str(tmp_path / "d.png"), img)
+    back = read_png(str(tmp_path / "d.png"))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_native_decoder_matches_python(tmp_path):
+    from lidar_slam_tpu.utils import native
+    from lidar_slam_tpu.utils.png import write_png, _read_png_python
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    g8 = rng.integers(0, 255, (16, 20)).astype(np.uint8)
+    rgb = rng.integers(0, 255, (16, 20, 3)).astype(np.uint8)
+    g16 = rng.integers(0, 65535, (16, 20)).astype(np.uint16)
+    for name, img in [("g8.png", g8), ("rgb.png", rgb), ("g16.png", g16)]:
+        write_png(str(tmp_path / name), img)
+        got = native.read_png(str(tmp_path / name))
+        np.testing.assert_array_equal(got, img)
+        np.testing.assert_array_equal(_read_png_python(str(tmp_path / name)), img)
+
+
+def test_native_batch_loader(tmp_path):
+    from lidar_slam_tpu.utils import native
+    from lidar_slam_tpu.utils.png import write_png
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 65535, (6, 12, 14)).astype(np.uint16)
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"f{i}.png")
+        write_png(p, imgs[i])
+        paths.append(p)
+    got = native.read_png_batch(paths, (12, 14), np.uint16, n_threads=3)
+    np.testing.assert_array_equal(got, imgs)
+    # error surfaces for a missing file
+    with pytest.raises(IOError):
+        native.read_png_batch([paths[0], str(tmp_path / "nope.png")],
+                              (12, 14), np.uint16)
