@@ -1,0 +1,126 @@
+"""ICP warm-up evaluation: multi-seed global alignment of 3-D point clouds.
+
+Capability parity with the reference warm-up harness
+(reference: code/icp_warm_up/test_icp.py:52-101, utils.py:6-30): align a
+canonical model to scanned clouds by sweeping 24 yaw seeds and keeping the
+lowest normalized ICP error. The reference runs the 24 seeds sequentially;
+they are independent, so here the sweep is a single batched ICP call (the
+3-D SVD Kabsch path) — SURVEY.md section 3.5 calls this out as the natural
+batched-ICP benchmark.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import icp as icp_ops
+from ..ops.voxel import voxel_downsample
+
+
+def read_canonical_model(model_name: str, data_dir: str = "./data") -> np.ndarray:
+    """Load the canonical model from .mat, mm -> m
+    (reference: code/icp_warm_up/utils.py:6-17)."""
+    import scipy.io as sio  # host-side IO only
+
+    model = sio.loadmat(os.path.join(data_dir, model_name, "model.mat"))
+    return model["Mdata"].T / 1000.0
+
+
+def load_pc(model_name: str, idx: int, data_dir: str = "./data") -> np.ndarray:
+    """(reference: code/icp_warm_up/utils.py:20-30)"""
+    return np.load(os.path.join(data_dir, model_name, f"{idx}.npy"))
+
+
+def yaw_seed_transforms(source: np.ndarray, target: np.ndarray,
+                        n_seeds: int = 24) -> np.ndarray:
+    """Yaw-sweep initial transforms with centroid-aligned translation
+    (reference: code/icp_warm_up/test_icp.py:70-74)."""
+    yaws = np.linspace(0, 2 * np.pi, n_seeds, endpoint=False)
+    cs = source.mean(axis=0)
+    ct = target.mean(axis=0)
+    Ts = np.tile(np.eye(4), (n_seeds, 1, 1))
+    for k, yaw in enumerate(yaws):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        Ts[k, :3, :3] = R
+        Ts[k, :3, 3] = ct - R @ cs
+    return Ts
+
+
+def best_icp_alignment(
+    source: np.ndarray,
+    target: np.ndarray,
+    n_seeds: int = 24,
+    epsilon: float = 0.001,
+    voxel_size: float = 0.005,
+    downsample_above: int = 20000,
+    seed_batch: int = 8,
+) -> Tuple[np.ndarray, float, np.ndarray]:
+    """Run the yaw sweep as batched ICP; return (best_T, best_error, errors).
+
+    Mirrors the reference flow (test_icp.py:65-94): voxel-downsample both
+    clouds at 0.005 m when either exceeds 20k points; normalized error;
+    ties keep the earliest seed (like sequential `err < best`).
+    """
+    src, tgt = np.asarray(source), np.asarray(target)
+    if src.shape[0] > downsample_above or tgt.shape[0] > downsample_above:
+        src = voxel_downsample(src, voxel_size)
+        tgt = voxel_downsample(tgt, voxel_size)
+
+    seeds = yaw_seed_transforms(np.asarray(source), np.asarray(target), n_seeds)
+
+    src_j = jnp.asarray(src)
+    tgt_j = jnp.asarray(tgt)
+    src_mask = jnp.ones((src.shape[0],), bool)
+    tgt_mask = jnp.ones((tgt.shape[0],), bool)
+
+    all_T, all_err = [], []
+    for s in range(0, n_seeds, seed_batch):
+        b = min(seed_batch, n_seeds - s)
+        res = icp_ops.run_icp_batch(
+            jnp.tile(src_j[None], (b, 1, 1)),
+            jnp.tile(tgt_j[None], (b, 1, 1)),
+            jnp.tile(src_mask[None], (b, 1)),
+            jnp.tile(tgt_mask[None], (b, 1)),
+            jnp.asarray(seeds[s:s + b]),
+            epsilon=epsilon, normalize_error=True, planar=False)
+        all_T.append(np.asarray(res.T))
+        all_err.append(np.asarray(res.error))
+    Ts = np.concatenate(all_T)
+    errs = np.concatenate(all_err)
+    best = int(np.argmin(errs))
+    return Ts[best], float(errs[best]), errs
+
+
+def visualize_icp_result(source_pc, target_pc, aligned_pc, out_path,
+                         voxel: float = 0.0075) -> None:
+    """Before/after 3-D scatter (reference: test_icp.py:10-42); no-op
+    without matplotlib."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    src = voxel_downsample(np.asarray(source_pc), voxel)
+    tgt = voxel_downsample(np.asarray(target_pc), voxel)
+    ali = voxel_downsample(np.asarray(aligned_pc), voxel)
+
+    fig = plt.figure(figsize=(10, 5))
+    for k, (a, b, title) in enumerate([(src, tgt, "Before Alignment"),
+                                       (ali, tgt, "After Alignment")]):
+        ax = fig.add_subplot(1, 2, k + 1, projection="3d")
+        ax.scatter(a[:, 0], a[:, 1], a[:, 2], c="b", marker=".", label="Source")
+        ax.scatter(b[:, 0], b[:, 1], b[:, 2], c="r", marker=".", label="Target")
+        ax.view_init(elev=30, azim=30)
+        ax.legend()
+        ax.set_title(title)
+        ax.set_xticks([]); ax.set_yticks([]); ax.set_zticks([])
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    plt.savefig(out_path)
+    plt.close()

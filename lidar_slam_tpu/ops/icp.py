@@ -81,6 +81,7 @@ def icp_iteration(
     T_prev: jnp.ndarray,
     normalize_error: bool = False,
     planar: bool = False,
+    nn_backend: str = "jnp",
 ):
     """One batched ICP iteration (reference semantics: modules/icp.py:100-121).
 
@@ -91,7 +92,12 @@ def icp_iteration(
     no iterative SVD (which stalls on TPU for degenerate matrices).
     """
     src_t = _transform(src, T_prev)
-    idx = nearest_neighbors(src_t, tgt, tgt_mask)
+    if nn_backend == "pallas":
+        from .pallas_nn import nearest_neighbors_pallas
+
+        idx = nearest_neighbors_pallas(src_t, tgt, tgt_mask)
+    else:
+        idx = nearest_neighbors(src_t, tgt, tgt_mask)
     matched = jnp.take_along_axis(tgt, idx[..., None], axis=-2)
     if planar:
         T_fit = kabsch_planar(src_t[..., :2], matched[..., :2],
@@ -104,7 +110,7 @@ def icp_iteration(
 
 
 @partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
-                                   "normalize_error", "planar"))
+                                   "normalize_error", "planar", "nn_backend"))
 def run_icp_batch(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -116,6 +122,7 @@ def run_icp_batch(
     stopping_thresh: float = 1e-4,
     normalize_error: bool = False,
     planar: bool = False,
+    nn_backend: str = "jnp",
 ) -> IcpResult:
     """Run ICP to convergence for a whole batch of pairs.
 
@@ -148,7 +155,8 @@ def run_icp_batch(
 
     def body(c: Carry):
         T_new, idx, err = icp_iteration(src, tgt, src_mask, tgt_mask, c.T,
-                                        normalize_error, planar=planar)
+                                        normalize_error, planar=planar,
+                                        nn_backend=nn_backend)
         live = ~c.done
         # stopping rules evaluated with this iteration's error
         hit_eps = err < epsilon

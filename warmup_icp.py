@@ -1,0 +1,36 @@
+"""ICP warm-up CLI (reference: code/icp_warm_up/test_icp.py:52-101).
+
+  python warmup_icp.py --obj_name drill --num_pc 4 [--data_dir ./data]
+"""
+
+import argparse
+
+import numpy as np
+
+from lidar_slam_tpu.models import warmup
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--obj_name", type=str, default="drill",
+                        help="Object name (drill or liq_container)")
+    parser.add_argument("--num_pc", type=int, default=4,
+                        help="Number of point clouds (1-4)")
+    parser.add_argument("--data_dir", type=str, default="./data")
+    parser.add_argument("--n_seeds", type=int, default=24)
+    args = parser.parse_args()
+
+    source_pc = warmup.read_canonical_model(args.obj_name, args.data_dir)
+
+    best_errors = {}
+    for i in range(args.num_pc):
+        target_pc = warmup.load_pc(args.obj_name, i, args.data_dir)
+        best_T, best_err, errs = warmup.best_icp_alignment(
+            source_pc, target_pc, n_seeds=args.n_seeds)
+        best_errors[i] = round(best_err, 3)
+        aligned = source_pc @ best_T[:3, :3].T + best_T[:3, 3]
+        warmup.visualize_icp_result(source_pc, target_pc, aligned,
+                                    f"images/{args.obj_name}_{i}.png")
+
+    print("Best errors:")
+    for i in range(args.num_pc):
+        print(f"PC {i}: {best_errors[i]}")
