@@ -75,6 +75,46 @@ def compute_loop_closures(
     return T2, accept, errors, iters
 
 
+def resume_from_poses(
+    poses: np.ndarray,
+    ranges: np.ndarray,
+    range_min: float,
+    range_max: float,
+    filter_lidar: bool = False,
+    cfg: SlamConfig = SlamConfig(),
+    build_map: bool = True,
+) -> SlamResult:
+    """Checkpoint/resume: rebuild maps from a saved pose trajectory.
+
+    The pipeline checkpoints each stage's poses to outputs/*.npy (like the
+    reference, main.py:110-189); this entry point restarts from any of those
+    arrays, skipping pose estimation entirely (SURVEY.md section 5
+    checkpoint/resume)."""
+    poses = jnp.asarray(poses)
+    points, masks = scan_ops.scans_to_points(
+        jnp.asarray(ranges), range_min, range_max, cfg.lidar)
+    if filter_lidar:
+        from ..ops import filters
+        masks = filters.dbscan_filter_scans(
+            points, masks, eps=cfg.filter.dbscan_eps,
+            min_samples=cfg.filter.dbscan_min_samples)
+        masks = filters.statistical_filter_scans(
+            points, masks, k_std=cfg.filter.statistical_k_std)
+
+    result = SlamResult(
+        poses_odom=np.asarray(poses),
+        relative_poses_odom=np.asarray(
+            se2.get_relative_pose(poses[:-1], poses[1:])),
+        poses=np.asarray(poses),
+    )
+    if build_map:
+        K = occupancy.max_ray_cells(cfg.map, float(range_max))
+        logodds = occupancy.build_logodds(poses, points, masks, cfg.map, K)
+        result.logodds = np.asarray(logodds)
+        result.grid_map = np.asarray(occupancy.finalize_grid(logodds))
+    return result
+
+
 def run_slam(
     counts: np.ndarray,
     gyro: np.ndarray,

@@ -57,6 +57,11 @@ def build_parser():
                              "reading npz files")
     parser.add_argument("--output_dir", type=str, default="outputs/",
                         help="Directory for stage .npy artifacts")
+    parser.add_argument("--load_poses", type=str, default=None,
+                        help="Resume from a saved poses .npy: skip pose "
+                             "estimation and only build maps/texture "
+                             "(checkpoint/resume; stage artifacts in "
+                             "outputs/ are the checkpoints)")
     return parser
 
 
@@ -71,8 +76,7 @@ def main(argv=None):
 
     from lidar_slam_tpu import sensors
     from lidar_slam_tpu.config import MapConfig, SlamConfig
-    from lidar_slam_tpu.models import slam, texture
-    from lidar_slam_tpu.models.occupancy import OccupancyGridMap
+    from lidar_slam_tpu.models import slam
     from lidar_slam_tpu.utils import io
 
     dataset_num = args.dataset
@@ -107,14 +111,31 @@ def main(argv=None):
 
     banner("Running the TPU SLAM pipeline...")
     cfg = SlamConfig(map=MapConfig.from_cli(args.res, args.width, args.height))
-    result = slam.run_slam(
-        encoder.counts_synced, imu.gyro_synced, lidar.ranges_synced,
-        float(lidar.range_min), float(lidar.range_max),
-        mode=args.mode, filter_lidar=args.filter_lidar,
-        fixed_interval=args.fixed_interval, cfg=cfg,
-        build_map=args.generate_texture_map)
+    if args.load_poses:
+        result = slam.resume_from_poses(
+            io.load_numpy(args.load_poses),
+            lidar.ranges_synced, float(lidar.range_min),
+            float(lidar.range_max), filter_lidar=args.filter_lidar, cfg=cfg,
+            build_map=args.generate_texture_map)
+        print(f"(resumed from {args.load_poses})")
+    else:
+        result = slam.run_slam(
+            encoder.counts_synced, imu.gyro_synced, lidar.ranges_synced,
+            float(lidar.range_min), float(lidar.range_max),
+            mode=args.mode, filter_lidar=args.filter_lidar,
+            fixed_interval=args.fixed_interval, cfg=cfg,
+            build_map=args.generate_texture_map)
 
-    out = args.output_dir
+    if not args.load_poses:
+        _save_stage_artifacts(io, result, args.output_dir, dataset_num)
+    print("\n")
+
+    if args.generate_texture_map:
+        _generate_maps(args, cfg, result, lidar, encoder, kinect,
+                       logodds_map_path, texture_map_path, dataset_num)
+
+
+def _save_stage_artifacts(io, result, out, dataset_num):
     io.save_numpy(result.poses_odom, os.path.join(out, f"poses_odom_{dataset_num}.npy"))
     io.save_numpy(result.relative_poses_odom,
                   os.path.join(out, f"relative_poses_odom_{dataset_num}.npy"))
@@ -132,31 +153,36 @@ def main(argv=None):
                       os.path.join(out, f"poses_optimized_{dataset_num}.npy"))
         print(f"Added {result.n_loop_closures} loop closures")
         print(f"poses_optimized_{dataset_num}.npy saved at {out}")
-    print("\n")
 
-    if args.generate_texture_map:
-        banner("Generating occupancy map...")
-        ogm = OccupancyGridMap(cfg=cfg.map, range_max=float(lidar.range_max))
-        ogm.grid_map_log_odds = result.logodds
-        ogm.grid_map = result.grid_map
-        os.makedirs(os.path.dirname(logodds_map_path) or ".", exist_ok=True)
-        ogm.plot_log_odds_map(logodds_map_path)
-        print(f"Occupancy (logodds) map saved at: {logodds_map_path}\n\n")
 
-        banner("Generating the texture map...")
-        rgb_pose_idx = sensors.Kinect.get_closest_stamps(
-            encoder.stamps, kinect.rgb_stamps)
-        disp_for_rgb = sensors.Kinect.get_closest_stamps(
-            kinect.disp_stamps, kinect.rgb_stamps)
-        if args.synthetic:
-            print("(no RGBD frames for synthetic data; skipping texture)")
-        else:
-            loader = texture.disk_frame_loader(dataset_num, disp_for_rgb)
-            tex = texture.generate_texture_map(
-                result.poses, rgb_pose_idx, disp_for_rgb, result.grid_map,
-                loader, cfg.map, cfg.camera)
-            texture.plot_texture_map(tex, texture_map_path)
-            print(f"Texture map saved at: {texture_map_path}")
+def _generate_maps(args, cfg, result, lidar, encoder, kinect,
+                   logodds_map_path, texture_map_path, dataset_num):
+    from lidar_slam_tpu import sensors
+    from lidar_slam_tpu.models import texture
+    from lidar_slam_tpu.models.occupancy import OccupancyGridMap
+
+    banner("Generating occupancy map...")
+    ogm = OccupancyGridMap(cfg=cfg.map, range_max=float(lidar.range_max))
+    ogm.grid_map_log_odds = result.logodds
+    ogm.grid_map = result.grid_map
+    os.makedirs(os.path.dirname(logodds_map_path) or ".", exist_ok=True)
+    ogm.plot_log_odds_map(logodds_map_path)
+    print(f"Occupancy (logodds) map saved at: {logodds_map_path}\n\n")
+
+    banner("Generating the texture map...")
+    rgb_pose_idx = sensors.Kinect.get_closest_stamps(
+        encoder.stamps, kinect.rgb_stamps)
+    disp_for_rgb = sensors.Kinect.get_closest_stamps(
+        kinect.disp_stamps, kinect.rgb_stamps)
+    if args.synthetic:
+        print("(no RGBD frames for synthetic data; skipping texture)")
+    else:
+        loader = texture.disk_frame_loader(dataset_num, disp_for_rgb)
+        tex = texture.generate_texture_map(
+            result.poses, rgb_pose_idx, disp_for_rgb, result.grid_map,
+            loader, cfg.map, cfg.camera)
+        texture.plot_texture_map(tex, texture_map_path)
+        print(f"Texture map saved at: {texture_map_path}")
 
 
 if __name__ == "__main__":
