@@ -1,1 +1,2 @@
-from . import odometry  # noqa: F401
+from . import (occupancy, odometry, pose_graph, scan_matching, slam,  # noqa: F401
+               texture, warmup)

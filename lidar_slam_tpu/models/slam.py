@@ -10,7 +10,7 @@ compute stage is jitted device code over fixed-shape masked arrays.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

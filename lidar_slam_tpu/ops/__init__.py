@@ -1,1 +1,2 @@
-from . import scan  # noqa: F401
+from . import (bresenham, correlation, filters, icp, kabsch, nn, pallas_nn,  # noqa: F401
+               scan, voxel)

@@ -8,8 +8,6 @@ the shape XLA handles well on TPU.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from ..utils.precision import einsum as p_einsum, matmul as p_matmul

@@ -43,3 +43,15 @@ def scans_to_points(
     x = safe * jnp.cos(angles)[None, :] + cfg.p_rl[0]
     y = safe * jnp.sin(angles)[None, :] + cfg.p_rl[1]
     return jnp.stack([x, y], axis=-1), mask
+
+
+def transform_scans_to_world(poses: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Robot-frame scan points -> world frame, batched over scans.
+
+    poses (N, 3), points (N, P, 2) -> (N, P, 2). Replaces the reference's
+    per-scan Python loop (reference: modules/localization.py:309-317) with
+    one batched transform; masks are unchanged by rigid transforms.
+    """
+    from ..utils import se2
+
+    return se2.transform_points(points, se2.T_from_pose(poses))
