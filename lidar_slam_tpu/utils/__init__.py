@@ -1,1 +1,1 @@
-from . import io, plotting, png, precision, profiling, se2  # noqa: F401
+from . import io, logging, plotting, png, precision, profiling, se2  # noqa: F401

@@ -57,6 +57,20 @@ def device_timer(name: str, counters: Optional[Dict[str, float]] = None,
 
 
 @contextlib.contextmanager
+def debug_mode(nan_checks: bool = True):
+    """Development mode: raise on NaNs produced by any jitted computation
+    (the race-detection/sanitizer analog for this framework —
+    SURVEY.md section 5; single-address-space SPMD has no data races, NaNs
+    are the corruption that actually happens)."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", nan_checks)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+@contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax_trace"):
     """jax.profiler trace context (view with TensorBoard / xprof)."""
     jax.profiler.start_trace(log_dir)

@@ -1,0 +1,56 @@
+import io as std_io
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_slam_tpu.utils.logging import StageLogger
+from lidar_slam_tpu.utils import profiling
+
+
+def test_stage_logger_collects_metrics():
+    buf = std_io.StringIO()
+    log = StageLogger(stream=buf)
+    log.start("Estimating poses")
+    log.metric("n_poses", 100)
+    dt = log.end()
+    assert dt >= 0
+    summary = log.summary()
+    assert summary["Estimating poses.n_poses"] == 100
+    assert "Estimating poses.seconds" in summary
+    out = buf.getvalue()
+    assert "Estimating poses..." in out and "=" * 52 in out
+
+
+def test_stage_logger_json_lines():
+    buf = std_io.StringIO()
+    log = StageLogger(stream=buf, json_lines=True)
+    log.start("s")
+    log.metric("x", 1.5)
+    log.end()
+    log.summary()
+    assert '"metric": "s.x"' in buf.getvalue()
+
+
+def test_device_timer_counters():
+    counters = {}
+    with profiling.device_timer("op", counters, items=10, verbose=False):
+        profiling.block(jnp.arange(8).sum())
+    assert counters["op"] > 0
+    assert counters["op_per_s"] > 0
+
+
+def test_debug_mode_raises_on_nan():
+    with profiling.debug_mode():
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+    # restored afterwards: no raise
+    _ = jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+
+
+def test_tic_toc(capsys):
+    t = profiling.tic()
+    dt = profiling.toc(t, "X")
+    assert dt >= 0
+    assert "X took" in capsys.readouterr().out
