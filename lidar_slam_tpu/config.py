@@ -140,6 +140,9 @@ class PoseGraphConfig:
     lambda_down: float = 0.1
     cg_iters: int = 250
     cg_tol: float = 1e-8
+    # stop after 3 LM iterations with relative cost decrease below this
+    # (GTSAM's relativeErrorTol analog; its default is 1e-5)
+    cost_rtol: float = 1e-7
 
 
 @dataclasses.dataclass(frozen=True)

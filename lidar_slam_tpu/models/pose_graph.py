@@ -266,4 +266,4 @@ def optimize_with_config(poses0: jnp.ndarray, graph: PoseGraph,
     return optimize(poses0, graph, max_iters=cfg.max_lm_iters,
                     lambda_init=cfg.lambda_init, lambda_up=cfg.lambda_up,
                     lambda_down=cfg.lambda_down, cg_iters=cfg.cg_iters,
-                    cg_tol=cfg.cg_tol)
+                    cg_tol=cfg.cg_tol, cost_rtol=cfg.cost_rtol)

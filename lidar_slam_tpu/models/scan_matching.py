@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,19 +75,26 @@ def icp_all_pairs(
     else:
         src_p, tgt_p, src_mask_p, tgt_mask_p, init_p = src, tgt, src_mask, tgt_mask, init_T
 
-    Ts, errs, its = [], [], []
-    for c in range(n_chunks):
-        sl = slice(c * C, (c + 1) * C)
+    def chunk(args):
+        s, t, sm, tm, i0 = args
         res = icp_ops.run_icp_batch(
-            src_p[sl], tgt_p[sl], src_mask_p[sl], tgt_mask_p[sl], init_p[sl],
+            s, t, sm, tm, i0,
             epsilon=epsilon, max_iters=max_iters,
             stopping_thresh=stopping_thresh, normalize_error=normalize_error,
             planar=planar)
-        Ts.append(res.T)
-        errs.append(res.error)
-        its.append(res.iters)
-    T = jnp.concatenate(Ts, axis=0)[:B]
-    return T, jnp.concatenate(errs)[:B], jnp.concatenate(its)[:B]
+        return res.T, res.error, res.iters
+
+    def resh(x):
+        return x.reshape((n_chunks, C) + x.shape[1:])
+
+    # one dispatch for all chunks: lax.map runs them sequentially on device
+    # (each chunk's while_loop to its own convergence), avoiding ~n_chunks
+    # host->device dispatch latencies
+    T, errs, its = jax.lax.map(chunk, (resh(src_p), resh(tgt_p),
+                                       resh(src_mask_p), resh(tgt_mask_p),
+                                       resh(init_p)))
+    return (T.reshape((-1, 4, 4))[:B], errs.reshape(-1)[:B],
+            its.reshape(-1)[:B])
 
 
 def poses_from_scan_matching(
