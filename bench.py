@@ -58,7 +58,6 @@ def main():
 
     log("generating dataset-20-shaped synthetic data (2 seeds)...")
     cfg = SlamConfig()
-    K = occupancy.max_ray_cells(cfg.map, 30.0)
     cand = loop_closure_candidates(N_STEPS, 10)
     chunk = 64
 
@@ -74,6 +73,10 @@ def main():
     # is reused, runtime result memoization is impossible
     warm = prep(20)
     timed = prep(21)
+    # data-adaptive slot count (shared so both runs compile identically)
+    K = max(occupancy.adaptive_ray_cells(warm[2], warm[3], cfg.map, 30.0),
+            occupancy.adaptive_ray_cells(timed[2], timed[3], cfg.map, 30.0))
+    log(f"adaptive ray slots K = {K}")
 
     def pipeline(inputs):
         counts, gyro, points, masks, pts3 = inputs

@@ -59,6 +59,30 @@ def max_ray_cells(cfg: MapConfig, range_max: float) -> int:
     return int(math.ceil(range_max / cfg.resolution)) + 8
 
 
+def adaptive_ray_cells(points, masks, cfg: MapConfig,
+                       range_max: float = 30.0) -> int:
+    """Data-adaptive static slot count: the longest VALID ray in the data,
+    not the sensor's range_max.
+
+    Scatter cost scales with total slots (PERF.md), and indoor logs rarely
+    contain rays near range_max — on dataset-20-shaped data this cuts slots
+    >2x with zero semantic change. Host-side (numpy) computation before
+    tracing; the bound is conservative: ray cell count <=
+    ceil((|p| + |p_rl|)/res) + 1 for robot-frame point p (the ray origin is
+    offset by the unrotated p_rl while the endpoint carries the rotated one,
+    reference: modules/ogm.py:160-166). Rounded up to a multiple of 64 to
+    bound jit recompiles across datasets.
+    """
+    pts = np.asarray(points)
+    m = np.asarray(masks)
+    if not m.any():
+        return 64
+    max_norm = float(np.sqrt((pts[..., 0] ** 2 + pts[..., 1] ** 2)[m].max()))
+    k = int(math.ceil((max_norm + 0.28) / cfg.resolution)) + 8
+    k64 = int(-(-k // 64) * 64)
+    return min(k64, max_ray_cells(cfg, range_max))
+
+
 def scan_logodds_delta(
     pose: jnp.ndarray,
     points: jnp.ndarray,

@@ -108,7 +108,8 @@ def resume_from_poses(
         poses=np.asarray(poses),
     )
     if build_map:
-        K = occupancy.max_ray_cells(cfg.map, float(range_max))
+        K = occupancy.adaptive_ray_cells(points, masks, cfg.map,
+                                         float(range_max))
         logodds = occupancy.build_logodds(poses, points, masks, cfg.map, K)
         result.logodds = np.asarray(logodds)
         result.grid_map = np.asarray(occupancy.finalize_grid(logodds))
@@ -191,7 +192,8 @@ def run_slam(
     result.poses = np.asarray(final_poses)
 
     if build_map:
-        K = occupancy.max_ray_cells(cfg.map, float(range_max))
+        K = occupancy.adaptive_ray_cells(points, masks, cfg.map,
+                                         float(range_max))
         logodds = occupancy.build_logodds(final_poses, points, masks,
                                           cfg.map, K)
         result.logodds = np.asarray(logodds)
