@@ -7,14 +7,19 @@ code/pr2_utils.py:88-100). Variable lengths defeat XLA, so here every ray
 produces a FIXED (K, 2) cell array plus a validity mask, computed closed-form:
 
 The reference's integer Bresenham advances one cell per step along the major
-axis; the minor coordinate increments exactly when the running error
-accumulator wraps. Its accumulator at step k is m_k = (floor(dx/2) - k*dy) mod
-dx, and the minor axis steps at k iff m_k >= m_{k-1} (the reference computes
-this via diff-of-mod >= 0). That closed form needs no sequential dependency
-except a cumulative sum — which is a parallel prefix — so the whole
-trace vectorizes over both k and rays and the visited cell SET matches the
-reference exactly (validated against the golden rays in
-code/pr2_utils.py:94-96).
+axis; the minor coordinate increments exactly when its error accumulator
+m_k = (floor(dx/2) - k*dy) mod dx wraps (the reference detects wraps via
+diff-of-mod >= 0). Counting wraps in closed form gives the minor coordinate
+directly with NO sequential dependency at all:
+
+    minor_k = (k*dy + dx - 1 - floor(dx/2)) // dx
+
+(the numerator constant, not floor(dx/2) itself, reproduces the reference's
+tie-breaking on even dx exactly — verified exhaustively against the
+wrap-detection formulation for all slope pairs up to 200), so the whole
+trace is pure elementwise arithmetic over (ray, step) and the
+visited cell SET matches the reference exactly (validated against the golden
+rays in code/pr2_utils.py:94-96 and randomized diff-of-mod cross-checks).
 """
 
 from __future__ import annotations
@@ -55,13 +60,10 @@ def bresenham_fixed(sx, sy, ex, ey, K: int) -> Tuple[jnp.ndarray, jnp.ndarray, j
     dxe = dx[..., None] if dx.ndim else dx
     dye = dy[..., None] if dy.ndim else dy
 
-    # Error accumulator m_k = (dx//2 - k*dy) mod dx; minor steps where the
-    # accumulator wraps (m_k >= m_{k-1}).
+    # closed-form wrap count of the error accumulator (see module docstring);
+    # the clamp handles the degenerate single-cell ray (dx = 0)
     denom = jnp.maximum(dxe, 1)
-    m = jnp.mod(dxe // 2 - k * dye, denom)
-    m_prev = jnp.concatenate([m[..., :1], m[..., :-1]], axis=-1)
-    q = ((k >= 1) & (dye > 0) & (m >= m_prev)).astype(jnp.int32)
-    minor = jnp.cumsum(q, axis=-1)
+    minor = jnp.maximum((k * dye + dxe - 1 - dxe // 2) // denom, 0)
 
     sgn_x = jnp.where(sx <= ex, 1, -1).astype(jnp.int32)
     sgn_y = jnp.where(sy <= ey, 1, -1).astype(jnp.int32)

@@ -99,6 +99,15 @@ def test_batched_matches_scalar():
         np.testing.assert_array_equal(got, want)
 
 
+def test_even_dx_tie_breaking():
+    """Half-step ties (even dx) must round the reference's way: the 2:1 line
+    (0,0)->(2,1) stays at y=0 through x=1 (not y=1)."""
+    got = np.asarray(bresenham_cells(0, 0, 2, 1))
+    np.testing.assert_array_equal(got, [[0, 0], [1, 0], [2, 1]])
+    got = np.asarray(bresenham_cells(0, 0, 4, 2))
+    np.testing.assert_array_equal(got, [[0, 0], [1, 0], [2, 1], [3, 1], [4, 2]])
+
+
 def test_truncation_keeps_prefix():
     # K shorter than the ray: the first K cells survive, in order
     xs, ys, mask = bresenham_fixed(0, 0, 100, 37, 16)
