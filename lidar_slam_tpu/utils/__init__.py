@@ -1,1 +1,2 @@
-from . import io, logging, plotting, png, precision, profiling, se2  # noqa: F401
+from . import (io, logging, metrics, plotting, png, precision,  # noqa: F401
+               profiling, se2)
