@@ -95,6 +95,9 @@ def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
         return SuperStepOut(poses=poses, logodds=grid,
                             icp_errors=res.error, graph_cost=opt.cost)
 
-    in_sh = (NamedSharding(mesh, P(None, "rp", None)),
-             NamedSharding(mesh, P(None, "rp")), rep, rep)
+    # points/masks enter replicated; the ICP view constrains to "dp" (pair
+    # batch) and the map shard_map slices the "rp" (ray) view. Feeding a
+    # single non-trivially-sharded input to both consumers would force the
+    # SPMD partitioner into an involuntary full rematerialization.
+    in_sh = (rep, rep, rep, rep)
     return jax.jit(step, in_shardings=in_sh)
