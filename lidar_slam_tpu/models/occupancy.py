@@ -83,17 +83,18 @@ def adaptive_ray_cells(points, masks, cfg: MapConfig,
     return min(k64, max_ray_cells(cfg, range_max))
 
 
-def scan_logodds_delta(
+def scan_logodds_cells(
     pose: jnp.ndarray,
     points: jnp.ndarray,
     mask: jnp.ndarray,
     cfg: MapConfig,
     K: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-scan ray contributions: flat (R*K,) cell coords xs, ys and values.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-scan ray contributions in dense (R, K) layout + per-ray lengths.
 
     pose (3,), points (R, 2) robot-frame scan points (already including the
-    lidar offset, like reference z_ts), mask (R,) ray validity.
+    lidar offset, like reference z_ts), mask (R,) ray validity. Returns
+    (xs, ys, values, lengths) with masked slots routed to xs = -1.
     """
     x, y, yaw = pose[0], pose[1], pose[2]
     c, s = jnp.cos(yaw), jnp.sin(yaw)
@@ -123,7 +124,65 @@ def scan_logodds_delta(
 
     # route masked-out slots to an out-of-bounds index so scatter drops them
     xs = jnp.where(valid, xs, -1)
-    return xs.reshape(-1), ys.reshape(-1), values.reshape(-1).astype(jnp.float32)
+    lengths = jnp.where(
+        mask, jnp.maximum(jnp.abs(ex - sx), jnp.abs(ey - sy)) + 1, 0)
+    return xs, ys, values.astype(jnp.float32), lengths.astype(jnp.int32)
+
+
+def scan_logodds_delta(
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flattened (R*K,) variant of scan_logodds_cells (dense scatter path)."""
+    xs, ys, values, _ = scan_logodds_cells(pose, points, mask, cfg, K)
+    return xs.reshape(-1), ys.reshape(-1), values.reshape(-1)
+
+
+def _compact_scan_update(grid, pose, pts, m, cfg: MapConfig, K: int,
+                         ray_chunk: int = 128, slot_chunk: int = 64):
+    """One scan's scatter, restricted to live (ray-chunk x slot-chunk) tiles.
+
+    Scatter cost scales with total slots including dropped ones (PERF.md),
+    so sorting rays by length and skipping slot tiles beyond each chunk's
+    longest ray cuts scattered slots from R*K to ~sum(L_r): every valid
+    slot of every ray in a chunk lies below the chunk's max length, so the
+    visited-cell set (and the map) is bit-identical to the dense path.
+    """
+    xs, ys, values, lengths = scan_logodds_cells(pose, pts, m, cfg, K)
+    R = xs.shape[0]
+    order = jnp.argsort(-lengths)
+    xs, ys, values = xs[order], ys[order], values[order]
+    L_sorted = lengths[order]
+
+    n_rc = -(-R // ray_chunk)
+    pad_r = n_rc * ray_chunk - R
+    # pad the slot axis to whole tiles too, so dynamic_slice never clamps
+    # (a clamped start would re-read earlier slots and double-count)
+    pad_k = (-K) % slot_chunk
+    if pad_r or pad_k:
+        xs = jnp.pad(xs, ((0, pad_r), (0, pad_k)), constant_values=-1)
+        ys = jnp.pad(ys, ((0, pad_r), (0, pad_k)))
+        values = jnp.pad(values, ((0, pad_r), (0, pad_k)))
+
+    for c in range(n_rc):
+        lmax = jnp.minimum(L_sorted[c * ray_chunk], K)
+        n_tiles = -(-lmax // slot_chunk)
+
+        def body(j, g, c=c):
+            j0 = j * slot_chunk
+            r0 = jnp.asarray(c * ray_chunk, j0.dtype)
+            tx = jax.lax.dynamic_slice(xs, (r0, j0), (ray_chunk, slot_chunk))
+            ty = jax.lax.dynamic_slice(ys, (r0, j0), (ray_chunk, slot_chunk))
+            tv = jax.lax.dynamic_slice(values, (r0, j0),
+                                       (ray_chunk, slot_chunk))
+            return g.at[tx.reshape(-1), ty.reshape(-1)].add(
+                tv.reshape(-1), mode="drop")
+
+        grid = jax.lax.fori_loop(0, n_tiles, body, grid)
+    return grid
 
 
 @partial(jax.jit, static_argnames=("cfg", "K"))
@@ -142,7 +201,7 @@ def update_map(
     return jnp.clip(new, -cfg.logodds_clip, cfg.logodds_clip)
 
 
-@partial(jax.jit, static_argnames=("cfg", "K"))
+@partial(jax.jit, static_argnames=("cfg", "K", "compact"))
 def build_logodds(
     poses: jnp.ndarray,
     points: jnp.ndarray,
@@ -150,16 +209,25 @@ def build_logodds(
     cfg: MapConfig,
     K: int,
     init: jnp.ndarray | None = None,
+    compact: bool = True,
 ) -> jnp.ndarray:
     """Build the full log-odds grid with a lax.scan over scans
-    (reference: modules/ogm.py:45-59). poses (N,3), points (N,R,2), masks (N,R)."""
+    (reference: modules/ogm.py:45-59). poses (N,3), points (N,R,2), masks (N,R).
+
+    compact=True scatters only live (ray, slot) tiles after sorting rays by
+    length (identical map, ~sum(L)/R*K of the scatter cost — see
+    _compact_scan_update); compact=False is the plain dense scatter.
+    """
     if init is None:
         init = jnp.zeros((cfg.width, cfg.height), dtype=jnp.float32)
 
     def step(grid, inp):
         pose, pts, m = inp
-        xs, ys, values = scan_logodds_delta(pose, pts, m, cfg, K)
-        grid = grid.at[xs, ys].add(values, mode="drop")
+        if compact:
+            grid = _compact_scan_update(grid, pose, pts, m, cfg, K)
+        else:
+            xs, ys, values = scan_logodds_delta(pose, pts, m, cfg, K)
+            grid = grid.at[xs, ys].add(values, mode="drop")
         return jnp.clip(grid, -cfg.logodds_clip, cfg.logodds_clip), None
 
     grid, _ = jax.lax.scan(step, init, (poses, points, masks))

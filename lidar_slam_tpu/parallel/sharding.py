@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MapConfig
-from ..models.occupancy import scan_logodds_delta
+from ..models.occupancy import _compact_scan_update
 from ..ops.icp import IcpResult, run_icp_batch
 
 
@@ -61,9 +61,12 @@ def sharded_build_logodds(mesh: Mesh, cfg: MapConfig, K: int,
         def shard_fn(poses_l, points_l, masks_l):
             def step(grid, inp):
                 pose, pts, m = inp
-                xs, ys, values = scan_logodds_delta(pose, pts, m, cfg, K)
-                delta = jnp.zeros((cfg.width, cfg.height), jnp.float32)
-                delta = delta.at[xs, ys].add(values, mode="drop")
+                # zeros must be marked varying over the shard axis: the
+                # scatter result derives from sharded rays
+                zeros = jax.lax.pcast(
+                    jnp.zeros((cfg.width, cfg.height), jnp.float32),
+                    axis, to="varying")
+                delta = _compact_scan_update(zeros, pose, pts, m, cfg, K)
                 delta = jax.lax.psum(delta, axis)
                 grid = jnp.clip(grid + delta, -cfg.logodds_clip,
                                 cfg.logodds_clip)

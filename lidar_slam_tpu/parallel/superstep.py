@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import IcpConfig, MapConfig, PoseGraphConfig
 from ..models import pose_graph
-from ..models.occupancy import scan_logodds_delta
+from ..models.occupancy import _compact_scan_update as _scan_update
 from ..ops.icp import run_icp_batch
 from ..utils import se2
 
@@ -75,9 +75,10 @@ def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
         def map_shard(poses_l, points_l, masks_l, grid0):
             def scan_step(grid, inp):
                 pose, pts, m = inp
-                xs, ys, values = scan_logodds_delta(pose, pts[..., :2], m,
-                                                    map_cfg, K)
-                delta = jnp.zeros_like(grid).at[xs, ys].add(values, mode="drop")
+                zeros = jax.lax.pcast(jnp.zeros_like(grid), "rp",
+                                      to="varying")
+                delta = _scan_update(zeros, pose, pts[..., :2], m,
+                                     map_cfg, K)
                 delta = jax.lax.psum(delta, "rp")
                 return jnp.clip(grid + delta, -map_cfg.logodds_clip,
                                 map_cfg.logodds_clip), None

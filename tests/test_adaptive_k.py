@@ -37,3 +37,23 @@ def test_adaptive_k_degenerate():
     far = jnp.full((1, 4, 2), 1000.0)
     k = occupancy.adaptive_ray_cells(far, jnp.ones((1, 4), bool), cfg, 30.0)
     assert k <= -(-occupancy.max_ray_cells(cfg, 30.0) // 64) * 64 + 64
+
+
+def test_compact_build_identical_to_dense():
+    """The staircase-compacted scatter must produce the bit-identical map."""
+    cfg = MapConfig(resolution=0.05, world_max_x=20, world_min_x=-20,
+                    world_max_y=20, world_min_y=-20)
+    rng = np.random.default_rng(7)
+    N, R = 6, 200
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    # mixed short/long rays incl. some beyond the map edge
+    r = np.where(rng.random((N, R)) < 0.1,
+                 rng.uniform(20, 35, (N, R)), rng.uniform(0.3, 8.0, (N, R)))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1))
+    masks = jnp.asarray(rng.random((N, R)) > 0.1)
+    poses = jnp.asarray(np.cumsum(rng.normal(0, 0.5, (N, 3)), axis=0))
+    K = occupancy.max_ray_cells(cfg, 35.0)  # deliberately not 64-aligned
+
+    dense = occupancy.build_logodds(poses, pts, masks, cfg, K, compact=False)
+    comp = occupancy.build_logodds(poses, pts, masks, cfg, K, compact=True)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(comp))
