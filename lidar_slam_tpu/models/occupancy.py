@@ -124,8 +124,10 @@ def scan_logodds_cells(
 
     # route masked-out slots to an out-of-bounds index so scatter drops them
     xs = jnp.where(valid, xs, -1)
-    lengths = jnp.where(
-        mask, jnp.maximum(jnp.abs(ex - sx), jnp.abs(ey - sy)) + 1, 0)
+    # live extent per ray = last in-bounds slot + 1 (tighter than the
+    # geometric ray length for rays that exit the map; slots beyond it are
+    # all invalid, so bounding by it is exact)
+    lengths = last_valid[..., 0] + 1
     return xs, ys, values.astype(jnp.float32), lengths.astype(jnp.int32)
 
 
