@@ -10,12 +10,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(args, cwd):
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO
-    # the axon sitecustomize pins the TPU platform; drop it for CLI tests
-    env["PYTHONPATH"] = REPO
-    env.pop("JAX_PLATFORMS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize pins the TPU platform at interpreter startup,
+    # so the subprocess must re-select cpu via jax.config (see conftest)
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import sys; sys.argv = ['main.py'] + %r;"
