@@ -46,6 +46,7 @@ def icp_all_pairs(
     normalize_error: bool = False,
     chunk_size: int = 64,
     planar: bool = True,
+    nn_backend: str = "auto",
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -56,6 +57,11 @@ def icp_all_pairs(
     converge immediately.
     """
     B, P = src.shape[0], src.shape[1]
+    if nn_backend == "auto":
+        # the Pallas distance+argmin kernel wins ~15% on TPU for
+        # scan-sized targets; jnp elsewhere (and for VMEM-busting targets)
+        nn_backend = ("pallas" if jax.default_backend() == "tpu"
+                      and tgt.shape[1] <= 4096 else "jnp")
     C = min(chunk_size, B)
     n_chunks = -(-B // C)
     pad = n_chunks * C - B
@@ -81,7 +87,7 @@ def icp_all_pairs(
             s, t, sm, tm, i0,
             epsilon=epsilon, max_iters=max_iters,
             stopping_thresh=stopping_thresh, normalize_error=normalize_error,
-            planar=planar)
+            planar=planar, nn_backend=nn_backend)
         return res.T, res.error, res.iters
 
     def resh(x):
