@@ -4,9 +4,11 @@ Capability parity with the reference OGM (reference: modules/ogm.py:5-231),
 redesigned for XLA: the per-scan Python loop over ~1081 rays with per-ray
 variable-length Bresenham and in-place array writes becomes
 
-  - one vmapped fixed-length Bresenham over all rays (ops/bresenham.py),
-  - one scatter-add of +/- log4 contributions into the grid
-    (out-of-bounds cells dropped by the scatter itself), and
+  - one vmapped closed-form Bresenham over all rays (ops/bresenham.py),
+  - a scatter-add of +/- log4 contributions into the grid, compacted to
+    live (ray, slot) tiles by sorting rays by their in-bounds extent
+    (scatter cost scales with total slots; out-of-bounds cells are dropped
+    by the scatter itself), and
   - a lax.scan over time steps carrying the grid, clipping to +/-20 after
     each scan exactly like the reference (modules/ogm.py:188 — the clip is
     sequential, so the time axis is a scan; rays within a scan are the
@@ -198,8 +200,7 @@ def update_map(
 ) -> jnp.ndarray:
     """One scan's map update: scatter-add all ray contributions, then clip
     (reference: modules/ogm.py:149-188)."""
-    xs, ys, values = scan_logodds_delta(pose, points, mask, cfg, K)
-    new = logodds.at[xs, ys].add(values, mode="drop")
+    new = _compact_scan_update(logodds, pose, points, mask, cfg, K)
     return jnp.clip(new, -cfg.logodds_clip, cfg.logodds_clip)
 
 
