@@ -153,6 +153,7 @@ def generate_texture_map(
     map_cfg: MapConfig = MapConfig(),
     cam_cfg: CameraConfig = CameraConfig(),
     batch_size: int = 8,
+    dtype=jnp.float32,
 ) -> np.ndarray:
     """Build the texture map.
 
@@ -173,8 +174,8 @@ def generate_texture_map(
         ids = np.arange(s, min(s + batch_size, F))
         disp, rgb = load_frame_batch(ids)
         lin, colors, ok = frames_to_cells(
-            jnp.asarray(disp, jnp.float32), jnp.asarray(rgb),
-            jnp.asarray(poses[rgb_pose_indices[ids]], jnp.float32),
+            jnp.asarray(disp, dtype), jnp.asarray(rgb),
+            jnp.asarray(poses[rgb_pose_indices[ids]], dtype),
             map_cfg, cam_cfg)
         winner = paint_cells(winner, lin, jnp.int32(base))
         all_colors.append(np.asarray(colors))

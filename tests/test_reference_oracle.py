@@ -227,3 +227,120 @@ def test_voxel_downsample_matches_reference(ref):
     want = ref["icp"].voxel_downsample(pc, 0.4)
     got = voxel_downsample(pc, 0.4)
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_sensor_sync_matches_reference(ref):
+    from lidar_slam_tpu import sensors as our_sensors
+
+    sys.path.insert(0, REF)
+    from modules import sensors as ref_sensors
+
+    rng = np.random.default_rng(10)
+    enc_data = {"counts": rng.normal(size=(80, 4)),
+                "stamps": np.sort(rng.uniform(0, 10, 80))}
+    imu_data = {"angular_velocity": rng.normal(size=(200, 3)),
+                "linear_acceleration": rng.normal(size=(200, 3)),
+                "stamps": np.sort(rng.uniform(0, 10, 200))}
+    lid_data = {"ranges": rng.uniform(0.5, 20, (70, 16)),
+                "stamps": np.sort(rng.uniform(0, 10, 70)),
+                "angle_min": -2.3, "angle_max": 2.3,
+                "angle_increment": 0.004, "range_min": 0.1, "range_max": 30.0}
+
+    r_enc = ref_sensors.Encoder(enc_data)
+    r_imu = ref_sensors.Imu(imu_data)
+    r_lid = ref_sensors.Lidar(lid_data)
+    ref["utils"].synchronize_sensors(r_enc, r_imu, r_lid, base_sensor_index=0)
+
+    o_enc = our_sensors.Encoder.from_data(enc_data)
+    o_imu = our_sensors.Imu.from_data(imu_data)
+    o_lid = our_sensors.Lidar.from_data(lid_data)
+    our_sensors.synchronize_sensors(o_enc, o_imu, o_lid, base_sensor_index=0)
+
+    np.testing.assert_array_equal(o_enc.counts_synced, r_enc.counts_synced)
+    np.testing.assert_array_equal(o_imu.gyro_synced, r_imu.gyro_synced)
+    np.testing.assert_array_equal(o_lid.ranges_synced, r_lid.ranges_synced)
+
+    # kinect closest-stamp matching (reference: modules/sensors.py:138-146)
+    k_data = {"disp_stamps": np.sort(rng.uniform(0, 10, 40)),
+              "rgb_stamps": np.sort(rng.uniform(0, 10, 30))}
+    r_kin = ref_sensors.Kinect(k_data)
+    want = r_kin.get_closest_stamps(k_data["disp_stamps"], k_data["rgb_stamps"])
+    got = our_sensors.Kinect.get_closest_stamps(k_data["disp_stamps"],
+                                                k_data["rgb_stamps"])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_texture_chain_matches_reference(tmp_path, monkeypatch, ref):
+    """Full texture map oracle: fabricate dataRGBD on disk, run the
+    reference generate_texture_map (cv2 path) and ours (native/python PNG
+    path) on identical inputs."""
+    import modules.texture_mapping as rtex
+    from modules import sensors as ref_sensors
+
+    from lidar_slam_tpu.config import CameraConfig, MapConfig
+    from lidar_slam_tpu.models import texture
+    from lidar_slam_tpu.utils.png import write_png
+
+    rng = np.random.default_rng(11)
+    H, W = 32, 40
+    n_rgb, n_disp = 3, 4
+    ds = 20
+
+    (tmp_path / f"dataRGBD/Disparity{ds}").mkdir(parents=True)
+    (tmp_path / f"dataRGBD/RGB{ds}").mkdir(parents=True)
+    disp_imgs = rng.integers(400, 800, (n_disp, H, W)).astype(np.uint16)
+    rgb_imgs = rng.integers(0, 255, (n_rgb, H, W, 3)).astype(np.uint8)
+    for i in range(n_disp):
+        write_png(str(tmp_path / f"dataRGBD/Disparity{ds}/disparity{ds}_{i}.png"),
+                  disp_imgs[i])
+    for i in range(n_rgb):
+        write_png(str(tmp_path / f"dataRGBD/RGB{ds}/rgb{ds}_{i + 1}.png"),
+                  rgb_imgs[i])
+
+    poses = rng.normal(0, 0.5, (10, 3))
+    enc_stamps = np.linspace(0, 1, 10)
+    rgb_stamps = np.array([0.11, 0.52, 0.93])
+    disp_stamps = np.array([0.05, 0.35, 0.65, 0.95])
+
+    cam = CameraConfig()
+    K, T_rc, _ = texture.camera_matrices(cam)
+    map_cfg = MapConfig(resolution=0.1, world_max_x=6, world_min_x=-6,
+                        world_max_y=6, world_min_y=-6)
+    grid_map = rng.integers(0, 2, (map_cfg.width, map_cfg.height)).astype(np.uint8)
+
+    # --- reference path (chdir for its hardcoded relative paths) ---
+    monkeypatch.chdir(tmp_path)
+    r_kin = ref_sensors.Kinect({"disp_stamps": disp_stamps,
+                                "rgb_stamps": rgb_stamps})
+    r_enc = ref_sensors.Encoder({"counts": np.zeros((10, 4)),
+                                 "stamps": enc_stamps})
+
+    class _OgmStub:
+        def world2grid(self, x, y):
+            i = np.ceil((np.asarray(x) - map_cfg.world_min_x)
+                        / map_cfg.resolution).astype(np.int32) - 1
+            j = np.ceil((np.asarray(y) - map_cfg.world_min_y)
+                        / map_cfg.resolution).astype(np.int32) - 1
+            return np.hstack([i.reshape(-1, 1), j.reshape(-1, 1)])
+
+    stub = _OgmStub()
+    stub.grid_map_width = map_cfg.width
+    stub.grid_map_height = map_cfg.height
+    stub.grid_map = grid_map.copy()
+
+    want = rtex.generate_texture_map(ds, poses, r_kin, r_enc, stub,
+                                     T_rc, K)
+
+    # --- our path ---
+    rgb_pose_idx = np.asarray(
+        r_kin.get_closest_stamps(enc_stamps, rgb_stamps))
+    disp_for_rgb = np.asarray(
+        r_kin.get_closest_stamps(disp_stamps, rgb_stamps))
+    loader = texture.disk_frame_loader(ds, disp_for_rgb,
+                                       data_root=str(tmp_path / "dataRGBD"),
+                                       shape=(H, W))
+    import jax.numpy as _jnp
+    got = texture.generate_texture_map(poses, rgb_pose_idx, disp_for_rgb,
+                                       grid_map, loader, map_cfg, cam,
+                                       batch_size=2, dtype=_jnp.float64)
+    np.testing.assert_allclose(got, want, atol=1e-5)
