@@ -109,6 +109,25 @@ def read_png_batch(paths, shape, dtype, n_threads: int = 4) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native library not built (run `make -C native`)")
     n = len(paths)
+    # safety: the C decoder writes decoded_w*h*c bytes into each slot; a
+    # file larger than `shape` would overflow the buffer, so validate every
+    # header (cheap, header-only reads) before any pixel decode
+    exp_c = shape[2] if len(shape) == 3 else 1
+    exp_depth = 16 if dtype == np.uint16 else 8
+    for path in paths:
+        w = ctypes.c_int(); h = ctypes.c_int()
+        c = ctypes.c_int(); depth = ctypes.c_int()
+        rc = lib.slamio_read_png_info(path.encode(), ctypes.byref(w),
+                                      ctypes.byref(h), ctypes.byref(c),
+                                      ctypes.byref(depth))
+        if rc != 0:
+            raise IOError(f"native PNG info failed for {path} (rc={rc})")
+        if (h.value, w.value, c.value, depth.value) != \
+                (shape[0], shape[1], exp_c, exp_depth):
+            raise ValueError(
+                f"{path}: image ({h.value}x{w.value}x{c.value}@"
+                f"{depth.value}bit) does not match expected "
+                f"{shape} @ {exp_depth}bit")
     out = np.empty((n,) + tuple(shape), dtype=dtype)
     rcs = (ctypes.c_int * n)()
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
