@@ -78,6 +78,13 @@ def best_icp_alignment(
     src_mask = jnp.ones((src.shape[0],), bool)
     tgt_mask = jnp.ones((tgt.shape[0],), bool)
 
+    # bound the (B, N, M) correspondence working set: shrink the seed batch
+    # for large clouds and fall back to source-chunked NN when even B=1
+    # would not fit (~>1.5 GB for the distance tensor)
+    bytes_per_seed = 4 * src.shape[0] * tgt.shape[0]
+    seed_batch = max(1, min(seed_batch, int(1.5e9 // max(bytes_per_seed, 1))))
+    nn_backend = "chunked" if bytes_per_seed > 1.5e9 else "jnp"
+
     all_T, all_err = [], []
     for s in range(0, n_seeds, seed_batch):
         b = min(seed_batch, n_seeds - s)
@@ -87,7 +94,8 @@ def best_icp_alignment(
             jnp.tile(src_mask[None], (b, 1)),
             jnp.tile(tgt_mask[None], (b, 1)),
             jnp.asarray(seeds[s:s + b]),
-            epsilon=epsilon, normalize_error=True, planar=False)
+            epsilon=epsilon, normalize_error=True, planar=False,
+            nn_backend=nn_backend)
         all_T.append(np.asarray(res.T))
         all_err.append(np.asarray(res.error))
     Ts = np.concatenate(all_T)

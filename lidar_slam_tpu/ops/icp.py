@@ -96,6 +96,10 @@ def icp_iteration(
         from .pallas_nn import nearest_neighbors_pallas
 
         idx = nearest_neighbors_pallas(src_t, tgt, tgt_mask)
+    elif nn_backend == "chunked":
+        from .nn import nearest_neighbors_chunked
+
+        idx = nearest_neighbors_chunked(src_t, tgt, tgt_mask)
     else:
         idx = nearest_neighbors(src_t, tgt, tgt_mask)
     matched = jnp.take_along_axis(tgt, idx[..., None], axis=-2)

@@ -44,6 +44,35 @@ def nearest_neighbors(
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
+def nearest_neighbors_chunked(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray | None = None,
+    src_chunk: int = 2048,
+) -> jnp.ndarray:
+    """`nearest_neighbors` with the source axis processed in chunks.
+
+    Bounds peak memory at (B, src_chunk, M) instead of (B, N, M) — required
+    for warm-up-scale clouds (tens of thousands of points) where the full
+    distance tensor would not fit in HBM. Exact same indices.
+    src (B, N, D), tgt (B, M, D) -> (B, N) int32.
+    """
+    import jax
+
+    B, N, D = src.shape
+    C = min(src_chunk, N)
+    n_chunks = -(-N // C)
+    pad = n_chunks * C - N
+    srcp = jnp.pad(src, ((0, 0), (0, pad), (0, 0)))
+    chunks = jnp.moveaxis(srcp.reshape(B, n_chunks, C, D), 1, 0)
+
+    def one(chunk):
+        return nearest_neighbors(chunk, tgt, tgt_mask)
+
+    idx = jax.lax.map(one, chunks)  # (n_chunks, B, C)
+    return jnp.moveaxis(idx, 0, 1).reshape(B, n_chunks * C)[:, :N]
+
+
 def nearest_neighbor_dists(
     src: jnp.ndarray,
     tgt: jnp.ndarray,

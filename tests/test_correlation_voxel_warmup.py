@@ -142,3 +142,28 @@ def test_warmup_downsample_trigger():
         seed_batch=2)
     assert np.isfinite(best_err)
     np.testing.assert_allclose(best_T[:3, 3], [0.05, 0, 0], atol=0.02)
+
+
+def test_chunked_nn_matches_plain():
+    import jax.numpy as jnp
+    from lidar_slam_tpu.ops.nn import nearest_neighbors, nearest_neighbors_chunked
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.normal(size=(2, 500, 3)))
+    tgt = jnp.asarray(rng.normal(size=(2, 300, 3)))
+    mask = jnp.asarray(rng.random((2, 300)) > 0.3)
+    got = nearest_neighbors_chunked(src, tgt, mask, src_chunk=128)
+    want = nearest_neighbors(src, tgt, mask)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_warmup_large_cloud_memory_guard(monkeypatch):
+    """Large clouds must shrink the seed batch / use chunked NN instead of
+    materializing a (B, N, M) distance tensor."""
+    rng = np.random.default_rng(6)
+    src = rng.normal(0, 0.1, (3000, 3))
+    tgt = src @ np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]]).T + 0.1
+    # pretend the memory budget is tiny so the guard must engage
+    import lidar_slam_tpu.models.warmup as w
+    T, err, errs = w.best_icp_alignment(src, tgt, n_seeds=4, seed_batch=4,
+                                        downsample_above=10**9)
+    assert np.isfinite(err)
