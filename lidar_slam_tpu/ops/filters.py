@@ -90,6 +90,7 @@ def dbscan_labels(
     return jnp.where(mask & (labels < P), labels, -1)
 
 
+@partial(jax.jit, static_argnames=("min_samples", "chunk_size"))
 def dbscan_filter_scans(
     points: jnp.ndarray,
     masks: jnp.ndarray,
@@ -97,16 +98,25 @@ def dbscan_filter_scans(
     min_samples: int = 10,
     chunk_size: int = 16,
 ) -> jnp.ndarray:
-    """Per-scan DBSCAN outlier removal over the (N, P, 2) batch, chunked to
-    bound the N x P x P distance working set
-    (reference: modules/localization.py:201-221, main.py:86)."""
-    N = points.shape[0]
-    out = []
-    for c in range(0, N, chunk_size):
-        out.append(dbscan_outlier_mask(points[c:c + chunk_size],
-                                       masks[c:c + chunk_size],
-                                       eps, min_samples))
-    return jnp.concatenate(out, axis=0)
+    """Per-scan DBSCAN outlier removal over the (N, P, 2) batch
+    (reference: modules/localization.py:201-221, main.py:86).
+
+    Chunked with lax.map to bound the N x P x P distance working set while
+    keeping the whole filter one device dispatch."""
+    N, P = points.shape[0], points.shape[1]
+    C = min(chunk_size, N)
+    n_chunks = -(-N // C)
+    pad = n_chunks * C - N
+    pts = jnp.pad(points, ((0, pad), (0, 0), (0, 0)))
+    mks = jnp.pad(masks, ((0, pad), (0, 0)))
+
+    def one(args):
+        p, m = args
+        return dbscan_outlier_mask(p, m, eps, min_samples)
+
+    out = jax.lax.map(one, (pts.reshape(n_chunks, C, P, -1),
+                            mks.reshape(n_chunks, C, P)))
+    return out.reshape(n_chunks * C, P)[:N]
 
 
 @jax.jit
