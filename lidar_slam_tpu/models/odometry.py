@@ -14,10 +14,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..config import RobotConfig
 from ..utils import se2
 
-DIST_PER_TICK = 0.0022  # reference: modules/localization.py:11,147
-FREQ = 40.0  # reference: modules/localization.py:12,148
+# single source of truth for the platform constants
+# (reference hardcodes them twice: modules/localization.py:11-13 and :147-148)
+DIST_PER_TICK = RobotConfig().dist_per_tick
+FREQ = RobotConfig().encoder_freq
 
 
 def v_from_encoder(counts: jnp.ndarray) -> jnp.ndarray:
