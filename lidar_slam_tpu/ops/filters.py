@@ -7,6 +7,12 @@ exceeds mean + k*sigma over all scans pooled, physically shrinking the
 ragged arrays. Here both filters only update validity masks over the fixed
 (N, P) scan batch.
 
+NB: the pipeline defaults (eps = 0.1 m, min_samples = 10,
+reference main.py:86) assume full 1081-ray scans: at 0.25 deg spacing wall
+points are ~4-7 cm apart at typical ranges. On downsampled scans (fewer
+rays) the same eps legitimately classifies nearly every point as noise —
+the reference would do the same.
+
 DBSCAN insight: the pipeline never uses cluster LABELS — only the outlier
 set (label == -1, reference localization.py:218). A point is a non-outlier
 iff it is a core point (>= min_samples neighbors within eps, self included)
