@@ -21,8 +21,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 
 def pathlib_cache():
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -46,12 +44,12 @@ def main():
                       str(pathlib_cache()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     sys.path.insert(0, ".")
-    from lidar_slam_tpu.config import IcpConfig, MapConfig, PoseGraphConfig, SlamConfig
+    from lidar_slam_tpu.config import SlamConfig
     from lidar_slam_tpu.models import occupancy, odometry, pose_graph, scan_matching
     from lidar_slam_tpu.models.slam import compute_loop_closures, loop_closure_candidates
     from lidar_slam_tpu.ops import icp as icp_ops
     from lidar_slam_tpu.ops import scan as scan_ops
-    from lidar_slam_tpu.utils import io, se2
+    from lidar_slam_tpu.utils import io
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")

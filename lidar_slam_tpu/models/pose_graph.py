@@ -5,9 +5,9 @@ Capability parity with the reference's inlined GTSAM stage
 consecutive scan-matched pair, and gated fixed-interval loop closures,
 minimized by Levenberg-Marquardt. The reference crosses a C++ binding per
 factor and solves on the host; here the whole graph is three dense factor
-arrays and the entire LM solve — residuals, matrix-free normal equations via
-jvp/vjp, CG with Jacobi preconditioning, damping schedule — runs on device
-inside one jit. Residuals use the full SE(2) log map (utils/se2.py:log_se2),
+arrays and the entire LM solve — batched block linearization, matrix-free CG
+normal equations, damping schedule — runs on device inside one jit.
+Residuals use the full SE(2) log map (utils/se2.py:log_se2),
 the same error model as gtsam.BetweenFactorPose2, so the optimum matches
 GTSAM's.
 
@@ -20,7 +20,7 @@ materializing the (3N, 3N) system.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

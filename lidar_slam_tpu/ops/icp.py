@@ -24,7 +24,7 @@ stopping_thresh (skipped on the first iteration).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ deltas) is part of the algorithm.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MapConfig
 from ..models.occupancy import _compact_scan_update
-from ..ops.icp import IcpResult, run_icp_batch
+from ..ops.icp import run_icp_batch
 
 
 def sharded_icp_batch(mesh: Mesh, axis: str = "dp"):

@@ -12,7 +12,6 @@ This is what `__graft_entry__.dryrun_multichip` compiles and executes.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

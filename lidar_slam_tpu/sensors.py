@@ -10,7 +10,7 @@ nearest-stamp (first-index-on-tie) semantics.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

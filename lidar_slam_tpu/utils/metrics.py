@@ -8,7 +8,7 @@ functions and a small CLI (tools/compare_runs.py).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

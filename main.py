@@ -15,9 +15,6 @@ real datasets are not shipped upstream; .gitignore:7-8).
 
 import argparse
 import os
-import sys
-
-import numpy as np
 
 
 def build_parser():

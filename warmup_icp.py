@@ -5,8 +5,6 @@
 
 import argparse
 
-import numpy as np
-
 from lidar_slam_tpu.models import warmup
 
 if __name__ == "__main__":
