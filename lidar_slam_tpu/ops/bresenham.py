@@ -40,6 +40,10 @@ def bresenham_fixed(sx, sy, ex, ey, K: int) -> Tuple[jnp.ndarray, jnp.ndarray, j
     k-th visited cell; mask marks slots within the true ray length
     max(|dx|,|dy|)+1. K must be >= the longest expected ray; longer rays are
     truncated tail-first (the tail is the segment farthest from the start).
+
+    Domain: the closed form computes k*dy in int32, so rays are supported up
+    to max(|dx|,|dy|) <= 46340 cells (sqrt(2^31)) — three orders of
+    magnitude beyond any realistic occupancy grid diagonal.
     """
     sx = jnp.asarray(sx, jnp.int32)
     sy = jnp.asarray(sy, jnp.int32)
