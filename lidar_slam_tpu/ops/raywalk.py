@@ -1,0 +1,271 @@
+"""Pallas TPU kernel: VMEM-resident log-odds map update by ray walking.
+
+The round-1 map build applied each scan's ray cells with an XLA scatter-add
+(~130M slots/s, one scalar slot at a time — the end-to-end wall, PERF.md).
+This kernel replaces the scatter with a walk over the exact Bresenham cell
+set (same closed form as ops/bresenham.py): the grid tile stays resident in
+VMEM, and each visit applies up to TS=32 ray cells as ONE masked (32, 128)
+vector read-modify-write, so the per-cell cost is a fraction of a VPU op
+instead of a scatter slot.
+
+Semantics are the reference's (modules/ogm.py:149-188), identical to
+occupancy.build_logodds:
+  - cells along each ray get -log4, the LAST IN-BOUNDS cell +log4
+    (modules/ogm.py:181-185: out-of-bounds cells are dropped first, the
+    final remaining cell is the endpoint);
+  - rays are truncated to K slots tail-first (parity with the fixed-slot
+    scatter path in ops/bresenham.py);
+  - the whole grid is clipped to +/-logodds_clip once per scan
+    (modules/ogm.py:188), in-kernel, before writeback.
+
+Because a straight line enters and leaves the (convex) map rectangle at
+most once, the in-bounds cells of a ray are a single contiguous Bresenham
+slot interval [k_in, k_out]; both ends are computed closed-form on the XLA
+side (ray_descriptors) and the kernel walks only that interval.
+
+Float-order caveat: cells hit by multiple rays accumulate in ray order
+(the reference's order); XLA's scatter may use a different accumulation
+order, so individual log-odds can differ by ULPs from the scatter path
+(sums of +/-log4 are not exactly representable). Thresholded uint8 maps
+are unaffected in practice; tests assert exact equality on the interpreter
+path and tight tolerances across backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import LidarConfig, MapConfig
+
+TS = 32        # sublane rows per grid tile visit
+_LANES = 128   # lane width of a tile visit
+_BIG = 1 << 28
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def ray_descriptors(
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> Tuple[jnp.ndarray, ...]:
+    """Closed-form per-ray walk descriptors for one scan.
+
+    pose (3,), points (R, 2) robot-frame scan points, mask (R,). Returns ten
+    (R,) int32 arrays: (steep, sM, sm, sgM, sgm, dM, dm, c, k_in, k_out)
+    in Bresenham (major k, minor m) space, with [k_in, k_out] already
+    clipped to the map bounds, the K-slot cap, and the ray mask
+    (k_in > k_out encodes "skip this ray").
+    """
+    x, y, yaw = pose[0], pose[1], pose[2]
+    cth, sth = jnp.cos(yaw), jnp.sin(yaw)
+    # endpoints: rotate robot-frame points to world (reference ogm.py:160-162)
+    wx = points[..., 0] * cth - points[..., 1] * sth + x
+    wy = points[..., 0] * sth + points[..., 1] * cth + y
+    # ray origin: robot xy + UNROTATED lidar offset (reference ogm.py:164-166)
+    ox = x + LidarConfig().p_rl[0]
+    oy = y + LidarConfig().p_rl[1]
+
+    res = cfg.resolution
+    sx = jnp.ceil((ox - cfg.world_min_x) / res).astype(jnp.int32) - 1
+    sy = jnp.ceil((oy - cfg.world_min_y) / res).astype(jnp.int32) - 1
+    ex = jnp.ceil((wx - cfg.world_min_x) / res).astype(jnp.int32) - 1
+    ey = jnp.ceil((wy - cfg.world_min_y) / res).astype(jnp.int32) - 1
+    sx = jnp.broadcast_to(sx, ex.shape)
+    sy = jnp.broadcast_to(sy, ey.shape)
+
+    dx0 = jnp.abs(ex - sx)
+    dy0 = jnp.abs(ey - sy)
+    steep = (dy0 > dx0).astype(jnp.int32)
+    dM = jnp.maximum(dx0, dy0)
+    dm = jnp.minimum(dx0, dy0)
+    # error-accumulator constant of the closed form (ops/bresenham.py:70)
+    c = jnp.where(dM > 0, dM - 1 - dM // 2, 0)
+
+    sgx = jnp.where(sx <= ex, 1, -1).astype(jnp.int32)
+    sgy = jnp.where(sy <= ey, 1, -1).astype(jnp.int32)
+    is_steep = steep == 1
+    sgM = jnp.where(is_steep, sgy, sgx)
+    sgm = jnp.where(is_steep, sgx, sgy)
+    sM = jnp.where(is_steep, sy, sx)
+    sm = jnp.where(is_steep, sx, sy)
+    Mhi = jnp.where(is_steep, cfg.height, cfg.width).astype(jnp.int32)
+    mhi = jnp.where(is_steep, cfg.width, cfg.height).astype(jnp.int32)
+
+    # major coordinate in [0, Mhi): k interval
+    aM = jnp.where(sgM > 0, -sM, sM - (Mhi - 1))
+    bM = jnp.where(sgM > 0, Mhi - 1 - sM, sM)
+    # minor coordinate sm + sgm*m in [0, mhi): m interval, mapped to k via
+    # m(k) = (k*dm + c) // dM  (monotone nondecreasing)
+    m_ub = jnp.where(sgm > 0, mhi - 1 - sm, sm)
+    m_lb = jnp.where(sgm > 0, -sm, sm - (mhi - 1))
+    dms = jnp.maximum(dm, 1)
+    k_ub_minor = jnp.where(
+        dm > 0,
+        ((m_ub + 1) * dM - 1 - c) // dms,
+        jnp.where(m_ub >= 0, _BIG, -1),
+    )
+    # smallest k with m(k) >= m_lb:  ceil((m_lb*dM - c)/dm)
+    k_lb_minor = jnp.where(
+        dm > 0,
+        -((c - m_lb * dM) // dms),
+        jnp.where(m_lb <= 0, -_BIG, _BIG),
+    )
+
+    k_in = jnp.maximum(jnp.maximum(0, aM), k_lb_minor)
+    k_out = jnp.minimum(jnp.minimum(dM, bM), k_ub_minor)
+    k_out = jnp.minimum(k_out, K - 1)  # fixed-slot tail truncation parity
+    valid = mask & (k_in <= k_out)
+    k_in = jnp.where(valid, k_in, 1).astype(jnp.int32)
+    k_out = jnp.where(valid, k_out, 0).astype(jnp.int32)
+
+    to32 = lambda a: a.astype(jnp.int32)
+    return (to32(steep), to32(sM), to32(sm), to32(sgM), to32(sgm),
+            to32(dM), to32(dm), to32(c), k_in, k_out)
+
+
+def _make_kernel(n_rays: int, log4: float, clip: float):
+    # keep as Python floats: jnp scalars would be captured tracer constants
+    log4 = float(log4)
+    clip = float(clip)
+
+    def kernel(steep_ref, sM_ref, sm_ref, sgM_ref, sgm_ref, dM_ref,
+               dm_ref, c_ref, kin_ref, kout_ref, grid_in_ref, grid_ref):
+        del grid_in_ref  # aliased with grid_ref
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 1)
+
+        def ray_body(r, _):
+            steep = steep_ref[r]
+            sM = sM_ref[r]
+            sm = sm_ref[r]
+            sgM = sgM_ref[r]
+            sgm = sgm_ref[r]
+            dM = jnp.maximum(dM_ref[r], 1)
+            dm = dm_ref[r]
+            c = c_ref[r]
+            k_out = kout_ref[r]
+
+            def visit(k):
+                # scalar-core int division is fine; only the VECTOR int
+                # division is slow (see the f32 quotient trick below)
+                m = (k * dm + c) // dM
+                Mc = sM + sgM * k
+                Nc = sm + sgm * m
+                stp = steep == 1
+                row = jnp.where(stp, Nc, Mc)
+                lane = jnp.where(stp, Mc, Nc)
+                rt = (row // TS) * TS
+                lt = (lane // _LANES) * _LANES
+                # next k at which the major coordinate leaves its tile dim
+                tsz_major = jnp.where(stp, _LANES, TS)
+                tb_major = jnp.where(stp, lt, rt)
+                off = Mc - tb_major
+                k_major = k + jnp.where(sgM > 0, tsz_major - off, off + 1)
+                # next k at which the minor coordinate leaves its tile dim:
+                # first k with m(k) >= m_bound
+                tsz_minor = jnp.where(stp, TS, _LANES)
+                tb_minor = jnp.where(stp, rt, lt)
+                m_bound = jnp.where(sgm > 0,
+                                    tb_minor + tsz_minor - sm,
+                                    sm - tb_minor + 1)
+                numb = m_bound * dM - c
+                k_minor = jnp.where(
+                    dm > 0, -((-numb) // jnp.maximum(dm, 1)), _BIG)
+                k1 = jnp.minimum(jnp.minimum(k_major, k_minor), k_out + 1)
+
+                # branchless unified mask: the major axis drives sublanes
+                # (flat rays) or lanes (steep rays); one shared div chain
+                drv = jnp.where(stp, lt + l_iota, rt + s_iota)
+                oth_iota = jnp.where(stp, s_iota, l_iota)
+                tb_oth = jnp.where(stp, rt, lt)
+                ks = sgM * (drv - sM)
+                # int32 division lowers to a slow software sequence on the
+                # VPU (~4x whole-kernel cost); use the f32 quotient (operands
+                # < 2^24, exact) and repair the floor with one integer
+                # remainder step (the TPU divide is reciprocal-based, so the
+                # raw quotient can be off by one ulp in either direction)
+                num = ks * dm + c
+                q0 = jnp.floor(num.astype(jnp.float32)
+                               / dM.astype(jnp.float32)).astype(jnp.int32)
+                rem = num - q0 * dM
+                ms = q0 + (rem >= dM).astype(jnp.int32) \
+                    - (rem < 0).astype(jnp.int32)
+                oth = sm + sgm * ms - tb_oth
+                mk = (ks >= k) & (ks < k1) & (oth_iota == oth)
+                delta = jnp.where(
+                    mk, jnp.where(ks == k_out, log4, -log4), 0.0)
+                rts = pl.multiple_of(rt, TS)
+                lts = pl.multiple_of(lt, _LANES)
+                tile = grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)]
+                grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)] = tile + delta
+                return k1
+
+            jax.lax.while_loop(lambda k: k <= k_out, visit, kin_ref[r])
+            return 0
+
+        jax.lax.fori_loop(0, n_rays, ray_body, 0)
+        # per-scan clip (reference ogm.py:188), fused before writeback
+        grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "K", "interpret"))
+def build_logodds_raywalk(
+    poses: jnp.ndarray,
+    points: jnp.ndarray,
+    masks: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+    init: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full map build with the ray-walk kernel: lax.scan over scans, each
+    step one pallas_call on the padded grid (reference ogm.py:45-59).
+
+    Drop-in replacement for occupancy.build_logodds (same semantics; see
+    module docstring for the float-accumulation-order caveat).
+    """
+    n_rays = int(points.shape[1])
+    Wp = _round_up(cfg.width, TS) + TS
+    Hp = _round_up(cfg.height, _LANES) + _LANES
+
+    kernel = _make_kernel(n_rays, cfg.logodds_ratio, cfg.logodds_clip)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Wp, Hp), jnp.float32),
+        input_output_aliases={10: 0},
+        interpret=interpret,
+    )
+
+    if init is None:
+        grid0 = jnp.zeros((Wp, Hp), jnp.float32)
+    else:
+        grid0 = jnp.zeros((Wp, Hp), jnp.float32).at[
+            :cfg.width, :cfg.height].set(init)
+
+    def step(grid, inp):
+        pose, pts, m = inp
+        desc = ray_descriptors(pose, pts, m, cfg, K)
+        return call(*desc, grid), None
+
+    grid, _ = jax.lax.scan(step, grid0, (poses, points, masks))
+    return grid[:cfg.width, :cfg.height]

@@ -1,0 +1,116 @@
+"""Tests for the Pallas ray-walk map kernel (ops/raywalk.py).
+
+Off-TPU the kernel runs in interpreter mode; these tests pin exact
+equality with the scatter path (models/occupancy.py) on adversarial
+geometry, and validate the closed-form [k_in, k_out] descriptors against
+the dense fixed-slot Bresenham trace they summarize.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_slam_tpu.config import MapConfig
+from lidar_slam_tpu.models.occupancy import build_logodds, max_ray_cells
+from lidar_slam_tpu.ops.bresenham import bresenham_fixed
+from lidar_slam_tpu.ops.raywalk import build_logodds_raywalk, ray_descriptors
+
+CFG = MapConfig(resolution=0.1, world_max_x=6, world_min_x=-6,
+                world_max_y=6, world_min_y=-6)
+K = max_ray_cells(CFG, 9.0)
+
+
+def _adversarial_scans(seed=0, n=10, r=96):
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(-np.pi, np.pi, (n, r))
+    rad = rng.uniform(0.2, 9.0, (n, r))  # many endpoints exit the map
+    pts = np.stack([rad * np.cos(ang), rad * np.sin(ang)],
+                   axis=-1).astype(np.float32)
+    masks = rng.random((n, r)) > 0.1
+    pts[0, :4] = 0.001                   # zero-length rays
+    pts[1, 4] = [3.0, 0.0]               # axis-aligned rays
+    pts[1, 5] = [0.0, -4.5]
+    pts[1, 6] = [-2.0, 0.0]
+    masks[2, :] = False                  # fully masked scan
+    poses = np.cumsum(rng.normal(0, 0.15, (n, 3)), axis=0).astype(np.float32)
+    poses[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    return (jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks))
+
+
+def test_raywalk_matches_scatter_exactly():
+    poses, pts, masks = _adversarial_scans()
+    g_sc = np.asarray(build_logodds(poses, pts, masks, CFG, K,
+                                    backend="scatter"))
+    g_rw = np.asarray(build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                            interpret=True))
+    assert g_sc.shape == g_rw.shape == (CFG.width, CFG.height)
+    np.testing.assert_array_equal(g_sc, g_rw)
+    assert (g_sc != 0).sum() > 1000  # the case actually exercises the map
+
+
+def test_backend_dispatch_raywalk():
+    poses, pts, masks = _adversarial_scans(seed=3, n=4, r=48)
+    g_auto = np.asarray(build_logodds(poses, pts, masks, CFG, K))
+    g_rw = np.asarray(build_logodds(poses, pts, masks, CFG, K,
+                                    backend="raywalk"))
+    g_sc = np.asarray(build_logodds(poses, pts, masks, CFG, K,
+                                    backend="scatter"))
+    np.testing.assert_array_equal(g_rw, g_sc)
+    # off-TPU, auto == scatter
+    np.testing.assert_array_equal(g_auto, g_sc)
+
+
+def test_raywalk_init_grid():
+    poses, pts, masks = _adversarial_scans(seed=5, n=3, r=32)
+    init = jnp.full((CFG.width, CFG.height), 2.5, jnp.float32)
+    g_sc = np.asarray(build_logodds(poses, pts, masks, CFG, K, init=init,
+                                    backend="scatter"))
+    g_rw = np.asarray(build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                            init=init, interpret=True))
+    np.testing.assert_array_equal(g_sc, g_rw)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_descriptors_match_dense_trace(seed):
+    """[k_in, k_out] must equal the in-bounds slot interval of the dense
+    fixed-slot trace (ops/bresenham.py) used by the scatter path."""
+    rng = np.random.default_rng(seed)
+    r = 256
+    ang = rng.uniform(-np.pi, np.pi, r)
+    rad = rng.uniform(0.05, 9.0, r)
+    pts = np.stack([rad * np.cos(ang), rad * np.sin(ang)],
+                   axis=-1).astype(np.float32)
+    pose = jnp.asarray(rng.normal(0, 1.0, 3).astype(np.float32))
+    mask = jnp.ones(r, bool)
+
+    desc = ray_descriptors(pose, jnp.asarray(pts), mask, CFG, K)
+    steep, sM, sm, sgM, sgm, dM, dm, c, k_in, k_out = map(np.asarray, desc)
+
+    # dense trace, same endpoint math as occupancy.scan_logodds_cells
+    from lidar_slam_tpu.config import LidarConfig
+    from lidar_slam_tpu.models.occupancy import world2grid
+    x, y, yaw = [float(v) for v in np.asarray(pose)]
+    cth, sth = np.cos(yaw), np.sin(yaw)
+    wx = pts[:, 0] * cth - pts[:, 1] * sth + x
+    wy = pts[:, 0] * sth + pts[:, 1] * cth + y
+    ox = x + LidarConfig().p_rl[0]
+    oy = y + LidarConfig().p_rl[1]
+    sx, sy = world2grid(jnp.asarray(ox), jnp.asarray(oy), CFG)
+    ex, ey = world2grid(jnp.asarray(wx), jnp.asarray(wy), CFG)
+    xs, ys, in_ray = bresenham_fixed(
+        jnp.broadcast_to(sx, ex.shape), jnp.broadcast_to(sy, ey.shape),
+        ex, ey, K)
+    in_b = (np.asarray(xs) >= 0) & (np.asarray(xs) < CFG.width) & \
+           (np.asarray(ys) >= 0) & (np.asarray(ys) < CFG.height) & \
+           np.asarray(in_ray)
+
+    kk = np.arange(K)
+    for i in range(r):
+        valid_ks = kk[in_b[i]]
+        if valid_ks.size == 0:
+            assert k_in[i] > k_out[i], f"ray {i} should be skipped"
+            continue
+        # in-bounds slots of a ray through a convex map are contiguous
+        assert valid_ks[-1] - valid_ks[0] + 1 == valid_ks.size, f"ray {i}"
+        assert k_in[i] == valid_ks[0], f"ray {i}"
+        assert k_out[i] == valid_ks[-1], f"ray {i}"
