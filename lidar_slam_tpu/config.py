@@ -143,6 +143,9 @@ class PoseGraphConfig:
     # stop after 3 LM iterations with relative cost decrease below this
     # (GTSAM's relativeErrorTol analog; its default is 1e-5)
     cost_rtol: float = 1e-7
+    # "direct": exact block-tridiagonal LDL^T + Woodbury loop correction
+    # (models/pose_graph.py); "cg": preconditioned conjugate gradients
+    solver: str = "direct"
 
 
 @dataclasses.dataclass(frozen=True)
