@@ -95,14 +95,19 @@ def icp_iteration(
     if nn_backend == "pallas":
         from .pallas_nn import nearest_neighbors_pallas
 
-        idx = nearest_neighbors_pallas(src_t, tgt, tgt_mask)
+        # matched points come out of the kernel (one-hot MXU pass,
+        # bit-identical to the gather): take_along_axis on (B, P) indices
+        # is the dominant per-iteration latency on TPU
+        idx, matched = nearest_neighbors_pallas(src_t, tgt, tgt_mask,
+                                                return_matched=True)
     elif nn_backend == "chunked":
         from .nn import nearest_neighbors_chunked
 
         idx = nearest_neighbors_chunked(src_t, tgt, tgt_mask)
+        matched = jnp.take_along_axis(tgt, idx[..., None], axis=-2)
     else:
         idx = nearest_neighbors(src_t, tgt, tgt_mask)
-    matched = jnp.take_along_axis(tgt, idx[..., None], axis=-2)
+        matched = jnp.take_along_axis(tgt, idx[..., None], axis=-2)
     if planar:
         T_fit = kabsch_planar(src_t[..., :2], matched[..., :2],
                               w=src_mask.astype(src.dtype))

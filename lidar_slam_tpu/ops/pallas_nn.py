@@ -41,20 +41,45 @@ def _nn_kernel(src_ref, tgt_t_ref, t2m_ref, out_ref):
         out_ref[b, :] = jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _nn_matched_kernel(src_ref, tgt_t_ref, t2m_ref, out_ref, out_m_ref):
+    for b in range(_TB):
+        s = src_ref[b]
+        tt = tgt_t_ref[b]
+        d = t2m_ref[b] - 2.0 * jax.lax.dot(
+            s, tt, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        out_ref[b, :] = idx
+        # matched coordinates via a one-hot MXU pass: exactly one nonzero
+        # term per row, so the result equals tgt[idx] bit-for-bit — and no
+        # HBM gather (take_along_axis is the slow op in the ICP inner loop)
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        onehot = (m_iota == idx[:, None]).astype(jnp.float32)
+        out_m_ref[b] = jax.lax.dot_general(
+            tt, onehot, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (8, TN)
+
+
+@partial(jax.jit, static_argnames=("tile_n", "interpret", "return_matched"))
 def nearest_neighbors_pallas(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
     tgt_mask: jnp.ndarray | None = None,
     tile_n: int = 256,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_matched: bool = False,
+):
     """Exact masked NN indices: src (B, N, D), tgt (B, M, D) -> (B, N) int32.
 
     Semantics identical to ops/nn.nearest_neighbors (lowest-index ties).
     Fits (tile_n, Mp) in VMEM: suitable for M up to a few thousand points
     (the scan-matching regime); larger targets should use the jnp path or a
     chunked reduction.
+
+    With return_matched=True also returns tgt[idx] as (B, N, D), computed
+    in-kernel by a one-hot MXU pass (bit-identical to the gather, but
+    avoids take_along_axis — the dominant latency in the ICP inner loop).
     """
     B, N, D = src.shape
     M = tgt.shape[1]
@@ -73,20 +98,41 @@ def nearest_neighbors_pallas(
     t2m = jnp.full((Bp, 1, Mp), _BIG, dtype).at[:B, 0, :M].set(t2)
 
     grid = (Bp // _TB, Np // tile_n)
-    out = pl.pallas_call(
-        _nn_kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
+    in_specs = [
+        pl.BlockSpec((_TB, tile_n, 8), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TB, 8, Mp), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TB, 1, Mp), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not return_matched:
+        out = pl.pallas_call(
+            _nn_kernel,
+            out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((_TB, tile_n), lambda b, i: (b, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(srcp, tgt_t, t2m)
+        return out[:B, :N]
+
+    out, matched_t = pl.pallas_call(
+        _nn_matched_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 8, Np), dtype),
+        ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TB, tile_n, 8), lambda b, i: (b, i, 0),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((_TB, tile_n), lambda b, i: (b, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, 8, Mp), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((_TB, 8, tile_n), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, 1, Mp), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_TB, tile_n), lambda b, i: (b, i),
-                               memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
     )(srcp, tgt_t, t2m)
-    return out[:B, :N]
+    matched = jnp.swapaxes(matched_t[:B, :D, :N], -1, -2)
+    return out[:B, :N], matched

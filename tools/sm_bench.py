@@ -1,0 +1,66 @@
+"""Scan-matching stage benchmark on the real TPU at dataset-20 scale.
+
+Dependency-chained reps (each rep's input is perturbed by the previous
+rep's output) so the runtime's value memoization cannot shortcut.
+
+    python tools/sm_bench.py [chunk ...]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+from lidar_slam_tpu.config import SlamConfig
+from lidar_slam_tpu.models import odometry, scan_matching
+from lidar_slam_tpu.ops import scan as scan_ops
+from lidar_slam_tpu.utils import io
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    chunks = [int(c) for c in sys.argv[1:]] or [64, 128, 256]
+    cfg = SlamConfig()
+    log(f"device: {jax.devices()[0]}")
+
+    data = io.synthetic_dataset(n_steps=4956, n_rays=1081, seed=20)
+    counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
+    gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)
+    ranges = jnp.asarray(data["lidar"]["ranges"], jnp.float32)
+    points, masks = scan_ops.scans_to_points(ranges, 0.1, 30.0, cfg.lidar)
+    poses = odometry.poses_from_odometry(counts, gyro)
+
+    for chunk in chunks:
+        def run(p):
+            sm = scan_matching.poses_from_scan_matching(
+                p, points, masks, cfg.icp, chunk_size=chunk)
+            return sm
+
+        t0 = time.time()
+        sm = run(poses)
+        np.asarray(sm.poses)
+        log(f"chunk={chunk}: warm-up {time.time()-t0:.1f}s "
+            f"(iters mean {float(jnp.mean(sm.iters)):.1f} "
+            f"max {int(jnp.max(sm.iters))})")
+        reps = 3
+        p = poses
+        t0 = time.time()
+        for _ in range(reps):
+            # dependency chain: tiny perturbation from previous output
+            p = poses + 1e-7 * sm.poses
+            sm = run(p)
+        np.asarray(sm.poses)
+        dt = (time.time() - t0) / reps
+        log(f"chunk={chunk}: {dt:.3f}s per run")
+
+
+if __name__ == "__main__":
+    main()
