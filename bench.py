@@ -102,6 +102,54 @@ def main():
         f"(icp iters mean {float(jnp.mean(sm.iters)):.1f}, "
         f"loops accepted {int(jnp.sum(accept))})")
 
+    # compiled-Pallas regression gate: the NN kernel must agree with the
+    # jnp reference path index-for-index on one real chunk (a Mosaic
+    # regression would otherwise silently corrupt correspondences)
+    if jax.default_backend() == "tpu":
+        from lidar_slam_tpu.ops.nn import nearest_neighbors
+        from lidar_slam_tpu.ops.pallas_nn import nearest_neighbors_pallas
+        pts3, masks = warm[4], warm[3]
+        s, t = pts3[1:65], pts3[:64]
+        tm = masks[:64]
+        idx_p, matched = nearest_neighbors_pallas(s, t, tm,
+                                                  return_matched=True)
+        idx_j = nearest_neighbors(s, t, tm)
+        # the two paths round the distance contraction differently (MXU
+        # 6-pass vs XLA's einsum lowering), so floating NEAR-TIES may pick
+        # different-but-equidistant neighbors (~0.05% of indices on real
+        # data). A Mosaic regression instead produces LARGE distance gaps:
+        # gate on the true squared distances of the chosen neighbors.
+        mj = jnp.take_along_axis(t, idx_j[..., None], axis=-2)
+        d2p = jnp.sum((s - matched) ** 2, -1)
+        d2j = jnp.sum((s - mj) ** 2, -1)
+        gap = jnp.abs(d2p - d2j)
+        disagree = idx_p != idx_j
+        frac = float(jnp.mean(disagree))
+        max_gap = float(gap.max())
+        if frac > 0.01 or max_gap > 1e-3:
+            raise AssertionError(
+                f"Pallas NN kernel regressed: {frac:.4f} of indices "
+                f"disagree with the jnp path, max d2 gap {max_gap:.2e}")
+        if not bool(jnp.all(jnp.where(disagree, True,
+                                      (matched == mj).all(-1)))):
+            raise AssertionError("Pallas NN matched-points output disagrees")
+        log(f"pallas NN kernel vs jnp path: {frac*100:.3f}% near-tie index "
+            f"flips, max d2 gap {max_gap:.2e} — OK")
+
+        # optional-path timing: DBSCAN + statistical filters at full scale
+        # (the reference baseline excludes them too; PERF.md has the row)
+        from lidar_slam_tpu.ops import filters
+        fm = filters.dbscan_filter_scans(warm[2], masks)
+        fm = filters.statistical_filter_scans(warm[2], fm)
+        fm.block_until_ready()
+        t0 = time.time()
+        fm = filters.dbscan_filter_scans(timed[2], timed[3])
+        fm = filters.statistical_filter_scans(timed[2], fm)
+        fm.block_until_ready()
+        log(f"filter path (DBSCAN+statistical, {N_STEPS}x{N_RAYS}): "
+            f"{time.time() - t0:.2f}s "
+            f"(kept {float(jnp.mean(fm)):.3f} of rays)")
+
     log("timed run (fresh data)...")
     t0 = time.time()
     poses, grid, sm, accept = pipeline(timed)

@@ -68,11 +68,13 @@ def dbscan_labels(
     mask: jnp.ndarray,
     eps: float,
     min_samples: int,
-    max_sweeps: int = 64,
 ) -> jnp.ndarray:
     """Full DBSCAN cluster labels (-1 noise) via min-label propagation over
-    the core-connectivity graph; label ids are canonical minima, not
-    sklearn's visit order. Provided for API completeness."""
+    the core-connectivity graph, iterated TO FIXPOINT (a lax.while_loop on
+    label change, so arbitrarily long core chains are labeled correctly —
+    convergence needs at most the component diameter sweeps, bounded by P).
+    Label ids are canonical minima, not sklearn's visit order. Provided for
+    API completeness (the pipeline only consumes the outlier mask)."""
     P = pts.shape[-2]
     eps = jnp.asarray(eps, pts.dtype)
     d2 = _pair_d2(pts)
@@ -84,11 +86,21 @@ def dbscan_labels(
     labels = jnp.where(core, idx, P)  # P = "unassigned"
     core_adj = neigh & core[..., None, :] & core[..., :, None]
 
-    def body(_, lab):
+    def sweep(lab):
         neigh_min = jnp.min(jnp.where(core_adj, lab[..., None, :], P), axis=-1)
         return jnp.where(core, jnp.minimum(lab, neigh_min), lab)
 
-    labels = jax.lax.fori_loop(0, max_sweeps, body, labels)
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < P)
+
+    def body(state):
+        lab, _, it = state
+        new = sweep(lab)
+        return new, jnp.any(new != lab), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body,
+                                      (labels, jnp.asarray(True), 0))
     # borders adopt the minimum core neighbor's label
     border_lab = jnp.min(jnp.where(neigh & core[..., None, :],
                                    labels[..., None, :], P), axis=-1)

@@ -72,7 +72,12 @@ def nearest_neighbors_pallas(
 ):
     """Exact masked NN indices: src (B, N, D), tgt (B, M, D) -> (B, N) int32.
 
-    Semantics identical to ops/nn.nearest_neighbors (lowest-index ties).
+    Semantics match ops/nn.nearest_neighbors (lowest-index ties) up to
+    floating NEAR-TIES: the compiled MXU contraction rounds distances
+    differently from XLA's einsum lowering, so targets at float-equal
+    distance can resolve to a different (equidistant) index (~0.05% of
+    indices on real scans; bench.py gates on the chosen-neighbor distance
+    gap). In interpreter mode the indices are bit-identical.
     Fits (tile_n, Mp) in VMEM: suitable for M up to a few thousand points
     (the scan-matching regime); larger targets should use the jnp path or a
     chunked reduction.

@@ -19,9 +19,14 @@ import jax.numpy as jnp
 from ..config import LidarConfig
 
 
-def scan_angles(cfg: LidarConfig) -> jnp.ndarray:
-    """Ray angles, identical linspace to reference modules/localization.py:278."""
-    return jnp.linspace(cfg.angle_min, cfg.angle_max, cfg.n_rays)
+def scan_angles(cfg: LidarConfig, n_rays: int | None = None) -> jnp.ndarray:
+    """Ray angles, identical linspace to reference modules/localization.py:278.
+
+    The reference derives the ray count from the data
+    (localization.py:275-279), not from a constant — pass n_rays to match
+    datasets that are not 1081-ray."""
+    return jnp.linspace(cfg.angle_min, cfg.angle_max,
+                        cfg.n_rays if n_rays is None else n_rays)
 
 
 def scans_to_points(
@@ -37,7 +42,9 @@ def scans_to_points(
     frame then offset by the lidar->robot translation p_rl (R = I). Invalid
     rays keep a well-defined (masked) value of the lidar origin offset.
     """
-    angles = scan_angles(cfg)
+    # ray count comes from the data, like the reference's
+    # n_measurements = lidar_ranges.shape (localization.py:275-279)
+    angles = scan_angles(cfg, n_rays=ranges.shape[-1])
     mask = (ranges >= range_min) & (ranges <= range_max)
     safe = jnp.where(mask, ranges, 0.0)
     x = safe * jnp.cos(angles)[None, :] + cfg.p_rl[0]

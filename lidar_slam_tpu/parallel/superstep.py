@@ -55,7 +55,7 @@ def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
         tgt = jax.lax.with_sharding_constraint(points[:-1], dp)
         res = run_icp_batch(src, tgt, masks[1:], masks[:-1], seeds3,
                             epsilon=icp_cfg.epsilon,
-                            max_iters=64,  # bounded for the fused step
+                            max_iters=icp_cfg.max_iters,
                             stopping_thresh=icp_cfg.stopping_thresh,
                             planar=True)
         rel2 = se2.TSE2_from_TSE3(res.T)
@@ -64,10 +64,12 @@ def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
 
         # ---- pose-graph refinement (replicated; one LM solve) ----
         graph = pose_graph.make_graph(rel2, pg_cfg, prior_pose=odom_poses[0])
-        opt = pose_graph.optimize(poses, graph, max_iters=3,
-                                  cg_iters=25, lambda_init=pg_cfg.lambda_init,
+        opt = pose_graph.optimize(poses, graph, max_iters=pg_cfg.max_lm_iters,
+                                  cg_iters=pg_cfg.cg_iters,
+                                  lambda_init=pg_cfg.lambda_init,
                                   lambda_up=pg_cfg.lambda_up,
-                                  lambda_down=pg_cfg.lambda_down)
+                                  lambda_down=pg_cfg.lambda_down,
+                                  solver=getattr(pg_cfg, "solver", "direct"))
         poses = opt.poses
 
         # ---- map update (rp-parallel rays, psum-combined, per-scan clip) ----

@@ -95,3 +95,16 @@ def test_chunked_equals_unchunked():
     b = np.asarray(filters.dbscan_filter_scans(jnp.asarray(pts), jnp.asarray(masks),
                                                chunk_size=7))
     np.testing.assert_array_equal(a, b)
+
+
+def test_dbscan_labels_long_chain_fixpoint():
+    """A core chain longer than any fixed sweep count must collapse to one
+    label (the propagation now iterates to fixpoint, VERDICT r1 #9: the old
+    64-sweep cap would mislabel chains with >64 hops)."""
+    from lidar_slam_tpu.ops.filters import dbscan_labels
+    P = 300
+    pts = jnp.asarray(np.stack([np.arange(P) * 0.05,
+                                np.zeros(P)], axis=-1))  # 5cm spacing chain
+    mask = jnp.ones(P, bool)
+    labels = np.asarray(dbscan_labels(pts, mask, eps=0.06, min_samples=2))
+    assert (labels == 0).all(), np.unique(labels)

@@ -78,3 +78,68 @@ def test_reference_golden_artifacts_are_loadable():
     g = pose_graph.make_graph(jnp.asarray(rel[:100]))
     cost = float(pose_graph.graph_cost(jnp.asarray(poses[:101]), g))
     assert np.isfinite(cost)
+
+
+def test_superstep_matches_unsharded_pipeline():
+    """Parity: the fused multi-device step equals the SAME math composed
+    unsharded at identical iteration caps (poses near-exact; the map's
+    psum groups ray contributions by shard, so log-odds agree to float
+    tolerance and the thresholded uint8 maps exactly)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lidar_slam_tpu.config import IcpConfig, MapConfig, PoseGraphConfig
+    from lidar_slam_tpu.models import occupancy, pose_graph
+    from lidar_slam_tpu.models.occupancy import max_ray_cells
+    from lidar_slam_tpu.ops.icp import run_icp_batch
+    from lidar_slam_tpu.parallel.mesh import make_mesh
+    from lidar_slam_tpu.parallel.superstep import make_slam_step
+    from lidar_slam_tpu.utils import se2
+
+    mesh = make_mesh(8, axes=("dp", "rp"))
+    map_cfg = MapConfig(resolution=0.2, world_max_x=6, world_min_x=-6,
+                        world_max_y=6, world_min_y=-6)
+    K = max_ray_cells(map_cfg, 6.0)
+    icp_cfg = IcpConfig(max_iters=64)
+    pg_cfg = PoseGraphConfig(max_lm_iters=3, cg_iters=25)
+    step = make_slam_step(mesh, map_cfg, K, icp_cfg, pg_cfg)
+
+    rng = np.random.default_rng(3)
+    N, R = 8, 16 * int(mesh.shape["rp"])
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    r = rng.uniform(0.3, 5.0, (N, R))
+    points = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang),
+                                   np.zeros_like(r)], axis=-1), jnp.float32)
+    masks = jnp.asarray(rng.random((N, R)) > 0.05)
+    odom = jnp.asarray(np.cumsum(rng.normal(0, 0.02, (N, 3)), axis=0),
+                       jnp.float32)
+    logodds = jnp.zeros((map_cfg.width, map_cfg.height), jnp.float32)
+
+    out = step(points, masks, odom, logodds)
+
+    # unsharded composition of the same stages at the same caps
+    seeds3 = se2.TSE3_from_TSE2(se2.get_relative_pose(odom[:-1], odom[1:]))
+    res = run_icp_batch(points[1:], points[:-1], masks[1:], masks[:-1],
+                        seeds3, epsilon=icp_cfg.epsilon,
+                        max_iters=icp_cfg.max_iters,
+                        stopping_thresh=icp_cfg.stopping_thresh, planar=True)
+    rel2 = se2.TSE2_from_TSE3(res.T)
+    poses0 = se2.pose_from_T(se2.compose_chain(rel2, se2.T_from_pose(odom[0])))
+    graph = pose_graph.make_graph(rel2, pg_cfg, prior_pose=odom[0])
+    opt = pose_graph.optimize(poses0, graph, max_iters=pg_cfg.max_lm_iters,
+                              cg_iters=pg_cfg.cg_iters,
+                              lambda_init=pg_cfg.lambda_init,
+                              lambda_up=pg_cfg.lambda_up,
+                              lambda_down=pg_cfg.lambda_down)
+    grid = occupancy.build_logodds(opt.poses, points[..., :2], masks,
+                                   map_cfg, K, init=logodds,
+                                   backend="scatter")
+
+    np.testing.assert_allclose(np.asarray(out.poses), np.asarray(opt.poses),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.icp_errors),
+                               np.asarray(res.error), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.logodds), np.asarray(grid),
+                               atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(occupancy.finalize_grid(out.logodds)),
+        np.asarray(occupancy.finalize_grid(grid)))

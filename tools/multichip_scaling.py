@@ -1,0 +1,79 @@
+"""Measured multi-device scaling of the ray-sharded map build.
+
+Times sharded_build_logodds on 1/2/4/8 virtual CPU devices (VERDICT r1 #8:
+replace the modeled multi-chip numbers with measured-on-mesh data).
+
+CAVEAT on interpretation: the virtual devices timeshare ONE physical CPU
+core, so wall-clock here measures the sharding overhead (psum, partitioned
+program), not real-chip speedup. The quantity that transfers to real chips
+is the per-device scattered-slot count (reported below): scatter cost
+scales with slots (PERF.md), and each device processes R/n_dev rays.
+
+    python tools/multichip_scaling.py [n_steps]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+# must run before the backend initializes
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+
+from lidar_slam_tpu.config import MapConfig  # noqa: E402
+from lidar_slam_tpu.models import occupancy  # noqa: E402
+from lidar_slam_tpu.parallel import mesh as mesh_lib  # noqa: E402
+from lidar_slam_tpu.parallel import sharding  # noqa: E402
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n_rays = 1080  # divisible by 8
+    cfg = MapConfig()
+    rng = np.random.default_rng(0)
+    ang = rng.uniform(-2.36, 2.36, (n_steps, n_rays))
+    r = rng.uniform(0.3, 20.0, (n_steps, n_rays))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], -1),
+                      jnp.float32)
+    masks = jnp.asarray(rng.random((n_steps, n_rays)) > 0.02)
+    poses = jnp.asarray(
+        np.cumsum(rng.normal(0, 0.02, (n_steps, 3)), 0), jnp.float32)
+    K = occupancy.adaptive_ray_cells(pts, masks, cfg, 30.0)
+    log(f"devices={len(jax.devices())} steps={n_steps} rays={n_rays} K={K}")
+
+    ref = None
+    same = True
+    for n_dev in (1, 2, 4, 8):
+        m = mesh_lib.make_mesh(n_dev)
+        build = sharding.sharded_build_logodds(m, cfg, K)
+        g_check = build(poses, pts, masks)  # identical input every mesh size
+        g_check.block_until_ready()
+        if ref is None:
+            ref = np.asarray(g_check)
+        else:
+            same &= bool((np.abs(np.asarray(g_check) - ref) < 1e-4).all())
+        t0 = time.time()
+        g = build(poses + 1e-6 * float(n_dev), pts, masks)
+        g.block_until_ready()
+        dt = time.time() - t0
+        slots_per_dev = n_rays // n_dev * K
+        log(f"n_dev={n_dev}: {dt:6.2f}s wall (virtual mesh, 1 core) | "
+            f"per-device slots/scan = {slots_per_dev:,} "
+            f"({n_rays // n_dev} rays x {K})")
+    log(f"maps across mesh sizes agree (atol 1e-4): {same}")
+
+
+if __name__ == "__main__":
+    main()
