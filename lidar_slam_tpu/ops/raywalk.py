@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LidarConfig, MapConfig
 
-TS = 32        # sublane rows per grid tile visit
+TS = 64        # sublane rows per grid tile visit
 _LANES = 128   # lane width of a tile visit
 _BIG = 1 << 28
 

@@ -63,7 +63,8 @@ def main():
         lambda p, pts, m: build_logodds_raywalk(p, pts, m, cfg.map, K),
         "raywalk")
     g_sc, t_sc = run(
-        lambda p, pts, m: occupancy.build_logodds(p, pts, m, cfg.map, K),
+        lambda p, pts, m: occupancy.build_logodds(p, pts, m, cfg.map, K,
+                                                   backend="scatter"),
         "scatter")
 
     d = jnp.abs(g_rw - g_sc)
