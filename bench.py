@@ -83,8 +83,7 @@ def main():
             poses_odom, points, masks, cfg.icp, chunk_size=chunk)
         max_d, max_y = odometry.max_step_gates(counts, gyro)
         loop_T, accept, _, _ = compute_loop_closures(
-            pts3, masks, cand, 10, float(max_d), float(max_y),
-            chunk_size=chunk)
+            pts3, masks, cand, 10, max_d, max_y, chunk_size=chunk)
         graph = pose_graph.make_graph(
             sm.relative_poses, cfg.pose_graph,
             loop_i=jnp.asarray(cand), loop_j=jnp.asarray(cand + 10),
@@ -155,6 +154,50 @@ def main():
     poses, grid, sm, accept = pipeline(timed)
     poses.block_until_ready(); grid.block_until_ready()
     elapsed = time.time() - t0
+
+    if os.environ.get("BENCH_STAGES") == "1":
+        # per-stage wall clock on a THIRD seed (the runtime memoizes
+        # value-identical computations, so stage timing needs fresh values);
+        # the sync after every stage makes the sum slightly exceed e2e
+        counts, gyro, points, masks, pts3 = prep(22)
+        # drain the prep transfer/compute queue so the first stage timer
+        # doesn't absorb it (the tunnel transfer of the 43 MB point set
+        # otherwise lands in the odometry row)
+        jax.block_until_ready((counts, gyro, points, masks, pts3))
+        t = time.time()
+        poses_odom = odometry.poses_from_odometry(counts, gyro)
+        poses_odom.block_until_ready()
+        log(f"stage odometry:      {time.time() - t:.3f}s")
+        t = time.time()
+        sm3 = scan_matching.poses_from_scan_matching(
+            poses_odom, points, masks, cfg.icp, chunk_size=chunk)
+        sm3.poses.block_until_ready()
+        log(f"stage scan_matching: {time.time() - t:.3f}s "
+            f"(iters mean {float(jnp.mean(sm3.iters)):.1f} "
+            f"p50 {float(jnp.percentile(sm3.iters, 50)):.0f} "
+            f"p90 {float(jnp.percentile(sm3.iters, 90)):.0f} "
+            f"max {int(jnp.max(sm3.iters))})")
+        t = time.time()
+        max_d, max_y = odometry.max_step_gates(counts, gyro)
+        loop_T, accept3, loop_err, loop_it = compute_loop_closures(
+            pts3, masks, cand, 10, max_d, max_y, chunk_size=chunk)
+        loop_T.block_until_ready()
+        log(f"stage loop_closures: {time.time() - t:.3f}s "
+            f"(iters mean {float(jnp.mean(loop_it)):.1f} "
+            f"max {int(jnp.max(loop_it))})")
+        t = time.time()
+        graph = pose_graph.make_graph(
+            sm3.relative_poses, cfg.pose_graph,
+            loop_i=jnp.asarray(cand), loop_j=jnp.asarray(cand + 10),
+            loop_meas=loop_T, loop_mask=accept3)
+        opt = pose_graph.optimize_with_config(sm3.poses, graph,
+                                              cfg.pose_graph)
+        opt.poses.block_until_ready()
+        log(f"stage pose_graph:    {time.time() - t:.3f}s")
+        t = time.time()
+        grid3 = occupancy.build_logodds(opt.poses, points, masks, cfg.map, K)
+        grid3.block_until_ready()
+        log(f"stage map_build:     {time.time() - t:.3f}s")
 
     pairs_per_s = (N_STEPS - 1) / elapsed  # headline convenience numbers
     log(f"e2e {elapsed:.2f}s | {pairs_per_s:.0f} scan-pairs/s equivalent | "

@@ -9,6 +9,7 @@ one fused XLA loop instead of ~5k Python iterations.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -78,6 +79,7 @@ def diff_drive_motion_model(pose_t: jnp.ndarray, v_t: jnp.ndarray,
     return jnp.stack([x, y, theta + dtheta], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("dt", "return_relative_poses"))
 def poses_from_odometry(
     v_ts: jnp.ndarray,
     w_ts: jnp.ndarray,
@@ -119,6 +121,7 @@ def poses_from_odometry(
     return poses
 
 
+@partial(jax.jit, static_argnames=("dt",))
 def max_step_gates(v_ts: jnp.ndarray, w_ts: jnp.ndarray,
                    dt: float = 1.0 / 40.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Loop-closure gates: max per-step encoder distance and max per-step yaw

@@ -16,6 +16,7 @@ This batching is exact, not an approximation — see SURVEY.md section 7.6.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -102,6 +103,7 @@ def icp_all_pairs(
             its.reshape(-1)[:B])
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk_size"))
 def poses_from_scan_matching(
     x_ts: jnp.ndarray,
     points: jnp.ndarray,

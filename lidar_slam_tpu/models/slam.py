@@ -10,8 +10,10 @@ compute stage is jitted device code over fixed-shape masked arrays.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,6 +43,7 @@ def loop_closure_candidates(n_poses: int, fixed_interval: int) -> np.ndarray:
     return np.arange(0, n_poses - fixed_interval, fixed_interval)
 
 
+@partial(jax.jit, static_argnames=("fixed_interval", "chunk_size"))
 def compute_loop_closures(
     points3: jnp.ndarray,
     masks: jnp.ndarray,

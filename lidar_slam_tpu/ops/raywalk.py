@@ -155,6 +155,19 @@ def _make_kernel(n_rays: int, log4: float, clip: float):
             dm = dm_ref[r]
             c = c_ref[r]
             k_out = kout_ref[r]
+            # ray-invariant scalars hoisted out of the visit loop (the
+            # per-visit scalar chain is the kernel's critical path)
+            stp = steep == 1
+            sgM_pos = sgM > 0
+            sgm_pos = sgm > 0
+            tsz_major = jnp.where(stp, _LANES, TS)
+            tsz_minor = jnp.where(stp, TS, _LANES)
+            dm_safe = jnp.maximum(dm, 1)
+            has_minor = dm > 0
+            # ray-invariant vector operands of the per-visit mask chain
+            driver_iota = jnp.where(stp, l_iota, s_iota)
+            oth_iota = jnp.where(stp, s_iota, l_iota)
+            dM_f = dM.astype(jnp.float32)
 
             def visit(k):
                 # scalar-core int division is fine; only the VECTOR int
@@ -162,32 +175,28 @@ def _make_kernel(n_rays: int, log4: float, clip: float):
                 m = (k * dm + c) // dM
                 Mc = sM + sgM * k
                 Nc = sm + sgm * m
-                stp = steep == 1
                 row = jnp.where(stp, Nc, Mc)
                 lane = jnp.where(stp, Mc, Nc)
                 rt = (row // TS) * TS
                 lt = (lane // _LANES) * _LANES
                 # next k at which the major coordinate leaves its tile dim
-                tsz_major = jnp.where(stp, _LANES, TS)
                 tb_major = jnp.where(stp, lt, rt)
                 off = Mc - tb_major
-                k_major = k + jnp.where(sgM > 0, tsz_major - off, off + 1)
+                k_major = k + jnp.where(sgM_pos, tsz_major - off, off + 1)
                 # next k at which the minor coordinate leaves its tile dim:
                 # first k with m(k) >= m_bound
-                tsz_minor = jnp.where(stp, TS, _LANES)
                 tb_minor = jnp.where(stp, rt, lt)
-                m_bound = jnp.where(sgm > 0,
+                m_bound = jnp.where(sgm_pos,
                                     tb_minor + tsz_minor - sm,
                                     sm - tb_minor + 1)
                 numb = m_bound * dM - c
                 k_minor = jnp.where(
-                    dm > 0, -((-numb) // jnp.maximum(dm, 1)), _BIG)
+                    has_minor, -((-numb) // dm_safe), _BIG)
                 k1 = jnp.minimum(jnp.minimum(k_major, k_minor), k_out + 1)
 
                 # branchless unified mask: the major axis drives sublanes
                 # (flat rays) or lanes (steep rays); one shared div chain
-                drv = jnp.where(stp, lt + l_iota, rt + s_iota)
-                oth_iota = jnp.where(stp, s_iota, l_iota)
+                drv = tb_major + driver_iota
                 tb_oth = jnp.where(stp, rt, lt)
                 ks = sgM * (drv - sM)
                 # int32 division lowers to a slow software sequence on the
@@ -197,7 +206,7 @@ def _make_kernel(n_rays: int, log4: float, clip: float):
                 # raw quotient can be off by one ulp in either direction)
                 num = ks * dm + c
                 q0 = jnp.floor(num.astype(jnp.float32)
-                               / dM.astype(jnp.float32)).astype(jnp.int32)
+                               / dM_f).astype(jnp.int32)
                 rem = num - q0 * dM
                 ms = q0 + (rem >= dM).astype(jnp.int32) \
                     - (rem < 0).astype(jnp.int32)
