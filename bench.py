@@ -84,11 +84,9 @@ def main():
         max_d, max_y = odometry.max_step_gates(counts, gyro)
         loop_T, accept, _, _ = compute_loop_closures(
             pts3, masks, cand, 10, max_d, max_y, chunk_size=chunk)
-        graph = pose_graph.make_graph(
-            sm.relative_poses, cfg.pose_graph,
-            loop_i=jnp.asarray(cand), loop_j=jnp.asarray(cand + 10),
-            loop_meas=loop_T, loop_mask=accept)
-        opt = pose_graph.optimize_with_config(sm.poses, graph, cfg.pose_graph)
+        opt = pose_graph.optimize_trajectory(
+            sm.poses, sm.relative_poses, jnp.asarray(cand),
+            jnp.asarray(cand + 10), loop_T, accept, cfg.pose_graph)
         grid = occupancy.build_logodds(opt.poses, points, masks, cfg.map, K)
         return opt.poses, grid, sm, accept
 
@@ -186,12 +184,9 @@ def main():
             f"(iters mean {float(jnp.mean(loop_it)):.1f} "
             f"max {int(jnp.max(loop_it))})")
         t = time.time()
-        graph = pose_graph.make_graph(
-            sm3.relative_poses, cfg.pose_graph,
-            loop_i=jnp.asarray(cand), loop_j=jnp.asarray(cand + 10),
-            loop_meas=loop_T, loop_mask=accept3)
-        opt = pose_graph.optimize_with_config(sm3.poses, graph,
-                                              cfg.pose_graph)
+        opt = pose_graph.optimize_trajectory(
+            sm3.poses, sm3.relative_poses, jnp.asarray(cand),
+            jnp.asarray(cand + 10), loop_T, accept3, cfg.pose_graph)
         opt.poses.block_until_ready()
         log(f"stage pose_graph:    {time.time() - t:.3f}s")
         t = time.time()

@@ -534,3 +534,24 @@ def optimize_with_config(poses0: jnp.ndarray, graph: PoseGraph,
                     lambda_down=cfg.lambda_down, cg_iters=cfg.cg_iters,
                     cg_tol=cfg.cg_tol, cost_rtol=cfg.cost_rtol,
                     solver=getattr(cfg, "solver", "direct"))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize_trajectory(
+    poses0: jnp.ndarray,
+    relative_poses: jnp.ndarray,
+    loop_i: jnp.ndarray,
+    loop_j: jnp.ndarray,
+    loop_meas: jnp.ndarray,
+    loop_mask: jnp.ndarray,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+) -> LMResult:
+    """Fused graph assembly + LM solve in ONE jit entry point.
+
+    make_graph followed by optimize as separate eager calls pays ~15-30 ms
+    per small dispatch through the device tunnel; fusing the whole
+    pose-graph stage (reference: main.py:148-189) into a single dispatch
+    removes that glue latency."""
+    graph = make_graph(relative_poses, cfg, loop_i=loop_i, loop_j=loop_j,
+                       loop_meas=loop_meas, loop_mask=loop_mask)
+    return optimize_with_config(poses0, graph, cfg)

@@ -181,14 +181,10 @@ def run_slam(
             float(max_distance), float(max_yaw_deg), chunk_size=chunk_size)
         result.n_loop_closures = int(np.asarray(accept).sum())
 
-        graph = pose_graph.make_graph(
-            sm.relative_poses, cfg.pose_graph,
-            loop_i=jnp.asarray(cand),
-            loop_j=jnp.asarray(cand + fixed_interval),
-            loop_meas=loop_T,
-            loop_mask=accept)
-        opt = pose_graph.optimize_with_config(final_poses, graph,
-                                              cfg.pose_graph)
+        opt = pose_graph.optimize_trajectory(
+            final_poses, sm.relative_poses, jnp.asarray(cand),
+            jnp.asarray(cand + fixed_interval), loop_T, accept,
+            cfg.pose_graph)
         result.poses_optimized = np.asarray(opt.poses)
         final_poses = opt.poses
 

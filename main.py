@@ -71,6 +71,14 @@ def banner(text):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # persistent compile cache: repeat CLI runs at the same shapes skip the
+    # multi-minute XLA compile (bench.py uses the same cache directory)
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from lidar_slam_tpu import sensors
     from lidar_slam_tpu.config import MapConfig, SlamConfig
     from lidar_slam_tpu.models import slam
