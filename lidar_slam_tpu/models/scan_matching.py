@@ -47,6 +47,7 @@ def icp_all_pairs(
     chunk_size: int = 64,
     planar: bool = True,
     nn_backend: str = "auto",
+    schedule: str = "sorted",
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -55,6 +56,16 @@ def icp_all_pairs(
     iterates until its slowest pair converges). Inputs are padded to a whole
     number of chunks; padding pairs run with a single valid point and
     converge immediately.
+
+    schedule="sorted" (default) runs ONE iteration for every pair first,
+    then sorts pairs by their post-iteration error (already-converged pairs
+    first) before chunking the remaining while_loops. Pairs needing similar
+    iteration counts land in the same chunk, so a chunk's cost — its
+    slowest member — stays near its mean (measured at dataset-20 scale the
+    executed-iteration overhead is 1.75x the necessary count unsorted).
+    The schedule changes only which pairs share a while_loop; every pair's
+    iterate sequence (and the returned T/error/iteration count) is
+    identical to schedule="chunked".
     """
     B, P = src.shape[0], src.shape[1]
     if nn_backend == "auto":
@@ -81,26 +92,62 @@ def icp_all_pairs(
     else:
         src_p, tgt_p, src_mask_p, tgt_mask_p, init_p = src, tgt, src_mask, tgt_mask, init_T
 
-    def chunk(args):
-        s, t, sm, tm, i0 = args
-        res = icp_ops.run_icp_batch(
-            s, t, sm, tm, i0,
-            epsilon=epsilon, max_iters=max_iters,
-            stopping_thresh=stopping_thresh, normalize_error=normalize_error,
-            planar=planar, nn_backend=nn_backend)
-        return res.T, res.error, res.iters
+    kwargs = dict(epsilon=epsilon, max_iters=max_iters,
+                  stopping_thresh=stopping_thresh,
+                  normalize_error=normalize_error,
+                  planar=planar, nn_backend=nn_backend)
 
     def resh(x):
         return x.reshape((n_chunks, C) + x.shape[1:])
 
-    # one dispatch for all chunks: lax.map runs them sequentially on device
-    # (each chunk's while_loop to its own convergence), avoiding ~n_chunks
-    # host->device dispatch latencies
-    T, errs, its = jax.lax.map(chunk, (resh(src_p), resh(tgt_p),
-                                       resh(src_mask_p), resh(tgt_mask_p),
-                                       resh(init_p)))
-    return (T.reshape((-1, 4, 4))[:B], errs.reshape(-1)[:B],
-            its.reshape(-1)[:B])
+    if schedule == "chunked":
+        def chunk(args):
+            s, t, sm, tm, i0 = args
+            res = icp_ops.run_icp_batch(s, t, sm, tm, i0, **kwargs)
+            return res.T, res.error, res.iters
+
+        # one dispatch for all chunks: lax.map runs them sequentially on
+        # device (each chunk's while_loop to its own convergence), avoiding
+        # ~n_chunks host->device dispatch latencies
+        T, errs, its = jax.lax.map(chunk, (resh(src_p), resh(tgt_p),
+                                           resh(src_mask_p), resh(tgt_mask_p),
+                                           resh(init_p)))
+        return (T.reshape((-1, 4, 4))[:B], errs.reshape(-1)[:B],
+                its.reshape(-1)[:B])
+
+    # --- sorted-resume schedule ---
+    # phase 0: exactly one iteration for every pair (work any schedule must
+    # do anyway), yielding each pair's resumable carry + difficulty proxy
+    def phase0(args):
+        s, t, sm, tm, i0 = args
+        carry = icp_ops.initial_icp_carry(i0, C, P, s.dtype)
+        return icp_ops.icp_step_batch(s, t, sm, tm, carry, **kwargs)
+
+    c1 = jax.lax.map(phase0, (resh(src_p), resh(tgt_p), resh(src_mask_p),
+                              resh(tgt_mask_p), resh(init_p)))
+    c1 = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), c1)
+
+    # sort: converged pairs first (their chunks' while_loops exit without
+    # running a body), live pairs by current error ascending
+    key = jnp.where(c1.done, -jnp.inf, c1.err)
+    order = jnp.argsort(key)
+    inv = jnp.argsort(order)
+    carry_s = jax.tree_util.tree_map(lambda x: x[order], c1)
+
+    def phase1(args):
+        s, t, sm, tm, carry = args
+        res = icp_ops.resume_icp_batch(s, t, sm, tm, carry, **kwargs)
+        return res.T, res.error, res.iters
+
+    T, errs, its = jax.lax.map(
+        phase1, (resh(src_p[order]), resh(tgt_p[order]),
+                 resh(src_mask_p[order]), resh(tgt_mask_p[order]),
+                 jax.tree_util.tree_map(resh, carry_s)))
+    T = T.reshape((-1, 4, 4))[inv][:B]
+    errs = errs.reshape(-1)[inv][:B]
+    its = its.reshape(-1)[inv][:B]
+    return T, errs, its
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk_size"))

@@ -118,6 +118,72 @@ def icp_iteration(
     return T_next, idx, err
 
 
+class IcpCarry(NamedTuple):
+    """Mid-run ICP state for a batch of pairs; resumable via
+    resume_icp_batch (pairs frozen at done=True never update again)."""
+    T: jnp.ndarray  # (B, 4, 4)
+    err: jnp.ndarray  # (B,)
+    last_err: jnp.ndarray  # (B,)
+    idx: jnp.ndarray  # (B, P) int32
+    k: jnp.ndarray  # (B,) int32
+    done: jnp.ndarray  # (B,) bool
+
+
+def _icp_body(src, tgt, src_mask, tgt_mask, c: IcpCarry,
+              epsilon, max_iters, stopping_thresh, normalize_error,
+              planar, nn_backend) -> IcpCarry:
+    """One iteration of the batched ICP loop: live pairs advance one Kabsch
+    step and evaluate the reference's three stopping rules; done pairs
+    freeze (reference loop body: modules/icp.py:167-181)."""
+    T_new, idx, err = icp_iteration(src, tgt, src_mask, tgt_mask, c.T,
+                                    normalize_error, planar=planar,
+                                    nn_backend=nn_backend)
+    live = ~c.done
+    # stopping rules evaluated with this iteration's error
+    hit_eps = err < epsilon
+    hit_iters = c.k >= max_iters
+    first = jnp.isinf(c.last_err)
+    hit_delta = (~first) & (jnp.abs(c.last_err - err) < stopping_thresh)
+    done_new = c.done | (live & (hit_eps | hit_iters | hit_delta))
+    sel = live[:, None, None]
+    return IcpCarry(
+        T=jnp.where(sel, T_new, c.T),
+        err=jnp.where(live, err, c.err),
+        last_err=jnp.where(live, err, c.last_err),
+        idx=jnp.where(live[:, None], idx, c.idx),
+        k=jnp.where(live, c.k + 1, c.k),
+        done=done_new,
+    )
+
+
+def _icp_while(src, tgt, src_mask, tgt_mask, carry: IcpCarry,
+               epsilon, max_iters, stopping_thresh, normalize_error,
+               planar, nn_backend) -> IcpCarry:
+    """Iterate every live pair in the batch to its own convergence."""
+
+    def cond(c: IcpCarry):
+        return jnp.any(~c.done)
+
+    def body(c: IcpCarry):
+        return _icp_body(src, tgt, src_mask, tgt_mask, c,
+                         epsilon, max_iters, stopping_thresh,
+                         normalize_error, planar, nn_backend)
+
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def initial_icp_carry(init_T: jnp.ndarray, B: int, P: int,
+                      dtype) -> IcpCarry:
+    return IcpCarry(
+        T=init_T.astype(dtype),
+        err=jnp.full((B,), _INF, dtype),
+        last_err=jnp.full((B,), _INF, dtype),
+        idx=jnp.zeros((B, P), jnp.int32),
+        k=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+    )
+
+
 @partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
                                    "normalize_error", "planar", "nn_backend"))
 def run_icp_batch(
@@ -140,51 +206,47 @@ def run_icp_batch(
     signature (modules/icp.py:123-133).
     """
     B, P = src.shape[0], src.shape[1]
-    dtype = src.dtype
-
-    class Carry(NamedTuple):
-        T: jnp.ndarray
-        err: jnp.ndarray
-        last_err: jnp.ndarray
-        idx: jnp.ndarray
-        k: jnp.ndarray
-        done: jnp.ndarray
-
-    init = Carry(
-        T=init_T.astype(dtype),
-        err=jnp.full((B,), _INF, dtype),
-        last_err=jnp.full((B,), _INF, dtype),
-        idx=jnp.zeros((B, P), jnp.int32),
-        k=jnp.zeros((B,), jnp.int32),
-        done=jnp.zeros((B,), bool),
-    )
-
-    def cond(c: Carry):
-        return jnp.any(~c.done)
-
-    def body(c: Carry):
-        T_new, idx, err = icp_iteration(src, tgt, src_mask, tgt_mask, c.T,
-                                        normalize_error, planar=planar,
-                                        nn_backend=nn_backend)
-        live = ~c.done
-        # stopping rules evaluated with this iteration's error
-        hit_eps = err < epsilon
-        hit_iters = c.k >= max_iters
-        first = jnp.isinf(c.last_err)
-        hit_delta = (~first) & (jnp.abs(c.last_err - err) < stopping_thresh)
-        done_new = c.done | (live & (hit_eps | hit_iters | hit_delta))
-        sel = live[:, None, None]
-        return Carry(
-            T=jnp.where(sel, T_new, c.T),
-            err=jnp.where(live, err, c.err),
-            last_err=jnp.where(live, err, c.last_err),
-            idx=jnp.where(live[:, None], idx, c.idx),
-            k=jnp.where(live, c.k + 1, c.k),
-            done=done_new,
-        )
-
-    out = jax.lax.while_loop(cond, body, init)
+    init = initial_icp_carry(init_T, B, P, src.dtype)
+    out = _icp_while(src, tgt, src_mask, tgt_mask, init,
+                     epsilon, max_iters, stopping_thresh, normalize_error,
+                     planar, nn_backend)
     return IcpResult(T=out.T, error=out.err, iters=out.k, correspondences=out.idx)
+
+
+@partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
+                                   "normalize_error", "planar", "nn_backend"))
+def resume_icp_batch(
+    src, tgt, src_mask, tgt_mask, carry: IcpCarry,
+    epsilon: float = 0.01,
+    max_iters: int = 2000,
+    stopping_thresh: float = 1e-4,
+    normalize_error: bool = False,
+    planar: bool = False,
+    nn_backend: str = "jnp",
+) -> IcpResult:
+    """Continue a batch of pairs from a mid-run IcpCarry to convergence.
+
+    The iterate sequence of each pair is identical to running
+    run_icp_batch start-to-finish; resuming only changes the SCHEDULE
+    (which pairs share a while_loop), never the math."""
+    out = _icp_while(src, tgt, src_mask, tgt_mask, carry,
+                     epsilon, max_iters, stopping_thresh, normalize_error,
+                     planar, nn_backend)
+    return IcpResult(T=out.T, error=out.err, iters=out.k,
+                     correspondences=out.idx)
+
+
+def icp_step_batch(
+    src, tgt, src_mask, tgt_mask, carry: IcpCarry,
+    epsilon: float, max_iters: int, stopping_thresh: float,
+    normalize_error: bool, planar: bool, nn_backend: str,
+) -> IcpCarry:
+    """Exactly ONE iteration of the batched ICP loop (the body of
+    _icp_while), for two-phase schedules that sort pairs by difficulty
+    after the first iteration. Bit-identical to one while_loop pass."""
+    return _icp_body(src, tgt, src_mask, tgt_mask, carry,
+                     epsilon, max_iters, stopping_thresh, normalize_error,
+                     planar, nn_backend)
 
 
 def lift_to_3d(pts: jnp.ndarray) -> jnp.ndarray:

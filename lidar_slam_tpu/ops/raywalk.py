@@ -230,7 +230,163 @@ def _make_kernel(n_rays: int, log4: float, clip: float):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "K", "interpret"))
+# ---------------------------------------------------------------------------
+# v2: precomputed visit descriptors.
+#
+# v1 derives each tile visit's geometry (tile coords, k interval) from
+# scalar math INSIDE the walk loop, so every visit's ~30-op scalar chain —
+# including two integer divisions — sits on the loop-carried critical path
+# (the next visit's start k is the current visit's exit k). v2 moves that
+# boundary math to the XLA side, vectorized over rays on the VPU, and hands
+# the kernel one packed int32 word per visit:
+#
+#   bits [24..29) row-tile index   (rt / TS      — 5 bits, grid <= 32 tiles)
+#   bits [20..24) lane-tile index  (lt / 128     — 4 bits)
+#   bits [10..20) k_next           (exit slot, pre-min'ed with k_out + 1)
+#   bits [ 0..10) k_start
+#
+# The kernel's per-visit scalar work is then 1 SMEM load + 6 shift/mask ops
+# with no divisions and no dependency between consecutive visits, so the
+# vector RMWs pipeline. A ray's visit list is terminated by a sentinel word
+# with k_start = K (> any k_out).
+# ---------------------------------------------------------------------------
+
+_NCROSS = 11  # max tile crossings per axis inside K slots: ceil(608/64) + 1
+V_SLOTS = 2 * _NCROSS + 2  # k_in + crossings (both axes) + sentinel
+
+
+def visit_descriptors(
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> Tuple[jnp.ndarray, ...]:
+    """Per-ray walk descriptors PLUS the packed per-visit word array.
+
+    Returns the ten ray_descriptors arrays followed by desc (R, V_SLOTS)
+    int32. Requires K < 1024 (10-bit slot fields) and a padded grid of at
+    most 32x16 (TS x 128) tiles."""
+    base = ray_descriptors(pose, points, mask, cfg, K)
+    steep, sM, sm, sgM, sgm, dM, dm, c, k_in, k_out = base
+
+    stp = steep == 1
+    tszM = jnp.where(stp, _LANES, TS)  # major-axis tile size
+    tszm = jnp.where(stp, TS, _LANES)  # minor-axis tile size
+    dM_safe = jnp.maximum(dM, 1)
+    dm_safe = jnp.maximum(dm, 1)
+    j = jnp.arange(_NCROSS, dtype=jnp.int32)
+
+    # major-axis tile crossings after k_in: first exit then every tszM
+    Mc_in = sM + sgM * k_in
+    posM = jnp.mod(Mc_in, tszM)
+    d_exitM = jnp.where(sgM > 0, tszM - posM, posM + 1)
+    kM = (k_in + d_exitM)[:, None] + j[None, :] * tszM[:, None]
+
+    # minor-axis crossings: m values where the minor coord exits its tile,
+    # mapped to k via the smallest k with m(k) >= m_target
+    m_in = (k_in * dm + c) // dM_safe
+    Nc_in = sm + sgm * m_in
+    posm = jnp.mod(Nc_in, tszm)
+    d_exitm = jnp.where(sgm > 0, tszm - posm, posm + 1)
+    m_t = (m_in + d_exitm)[:, None] + j[None, :] * tszm[:, None]
+    kmin = jnp.where((dm > 0)[:, None],
+                     -((c[:, None] - m_t * dM[:, None]) // dm_safe[:, None]),
+                     _BIG)
+
+    ks_all = jnp.concatenate([k_in[:, None], kM, kmin], axis=1)
+    # sentinel value K: > every k_out (k_out <= K-1) and fits 10 bits
+    ks_all = jnp.where(ks_all <= k_out[:, None], ks_all, K).astype(jnp.int32)
+    ks_sorted = jnp.sort(ks_all, axis=1)
+    # visit exit slot: next boundary, capped at k_out + 1
+    k_next = jnp.minimum(
+        jnp.concatenate([ks_sorted[:, 1:],
+                         jnp.full_like(ks_sorted[:, :1], K)], axis=1),
+        (k_out + 1)[:, None])
+
+    valid = ks_sorted <= k_out[:, None]
+    m_v = (ks_sorted * dm[:, None] + c[:, None]) // dM_safe[:, None]
+    Mc = sM[:, None] + sgM[:, None] * ks_sorted
+    Nc = sm[:, None] + sgm[:, None] * m_v
+    row = jnp.where(stp[:, None], Nc, Mc)
+    lane = jnp.where(stp[:, None], Mc, Nc)
+    rtile = jnp.where(valid, row // TS, 0)
+    ltile = jnp.where(valid, lane // _LANES, 0)
+    ks_w = jnp.where(valid, ks_sorted, K)
+    kn_w = jnp.where(valid, k_next, K)
+    desc = ((rtile << 24) | (ltile << 20) | (kn_w << 10) | ks_w).astype(
+        jnp.int32)
+    # sentinel column so the kernel's lookahead load stays in bounds
+    desc = jnp.concatenate(
+        [desc, jnp.full((desc.shape[0], 1), K, jnp.int32)], axis=1)
+    return base + (desc,)
+
+
+def _make_kernel_v2(n_rays: int, log4: float, clip: float):
+    log4 = float(log4)
+    clip = float(clip)
+
+    def kernel(steep_ref, sM_ref, sm_ref, sgM_ref, sgm_ref, dM_ref,
+               dm_ref, c_ref, kin_ref, kout_ref, desc_ref,
+               grid_in_ref, grid_ref):
+        del grid_in_ref, kin_ref  # aliased with grid_ref; k_in is desc[0]
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 1)
+
+        def ray_body(r, _):
+            steep = steep_ref[r]
+            sM = sM_ref[r]
+            sm = sm_ref[r]
+            sgM = sgM_ref[r]
+            sgm = sgm_ref[r]
+            dM = jnp.maximum(dM_ref[r], 1)
+            dm = dm_ref[r]
+            c = c_ref[r]
+            k_out = kout_ref[r]
+            stp = steep == 1
+            driver_iota = jnp.where(stp, l_iota, s_iota)
+            oth_iota = jnp.where(stp, s_iota, l_iota)
+            dM_f = dM.astype(jnp.float32)
+
+            def visit(carry):
+                vn, d = carry
+                k0 = d & 1023
+                k1 = (d >> 10) & 1023
+                lt = ((d >> 20) & 15) * _LANES
+                rt = (d >> 24) * TS
+                tb_major = jnp.where(stp, lt, rt)
+                tb_oth = jnp.where(stp, rt, lt)
+                drv = tb_major + driver_iota
+                ks = sgM * (drv - sM)
+                # f32 quotient + one-step integer repair (see v1 kernel)
+                num = ks * dm + c
+                q0 = jnp.floor(num.astype(jnp.float32)
+                               / dM_f).astype(jnp.int32)
+                rem = num - q0 * dM
+                ms = q0 + (rem >= dM).astype(jnp.int32) \
+                    - (rem < 0).astype(jnp.int32)
+                oth = sm + sgm * ms - tb_oth
+                mk = (ks >= k0) & (ks < k1) & (oth_iota == oth)
+                delta = jnp.where(
+                    mk, jnp.where(ks == k_out, log4, -log4), 0.0)
+                rts = pl.multiple_of(rt, TS)
+                lts = pl.multiple_of(lt, _LANES)
+                tile = grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)]
+                grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)] = tile + delta
+                return vn + 1, desc_ref[r, vn]
+
+            jax.lax.while_loop(lambda cv: (cv[1] & 1023) <= k_out, visit,
+                               (jnp.int32(1), desc_ref[r, 0]))
+            return 0
+
+        jax.lax.fori_loop(0, n_rays, ray_body, 0)
+        # per-scan clip (reference ogm.py:188), fused before writeback
+        grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "K", "interpret", "version"))
 def build_logodds_raywalk(
     poses: jnp.ndarray,
     points: jnp.ndarray,
@@ -239,20 +395,32 @@ def build_logodds_raywalk(
     K: int,
     init: jnp.ndarray | None = None,
     interpret: bool = False,
+    version: int = 2,
 ) -> jnp.ndarray:
     """Full map build with the ray-walk kernel: lax.scan over scans, each
     step one pallas_call on the padded grid (reference ogm.py:45-59).
 
     Drop-in replacement for occupancy.build_logodds (same semantics; see
-    module docstring for the float-accumulation-order caveat).
+    module docstring for the float-accumulation-order caveat). version=2
+    (default) precomputes packed visit descriptors on the XLA side so the
+    kernel's walk loop carries no scalar divisions; version=1 computes
+    the boundaries in-kernel.
     """
     n_rays = int(points.shape[1])
     Wp = _round_up(cfg.width, TS) + TS
     Hp = _round_up(cfg.height, _LANES) + _LANES
+    if version == 2:
+        if not (K < 1024 and Wp <= 32 * TS and Hp <= 16 * _LANES):
+            version = 1  # packed-word fields too small; fall back
 
-    kernel = _make_kernel(n_rays, cfg.logodds_ratio, cfg.logodds_clip)
+    if version == 2:
+        kernel = _make_kernel_v2(n_rays, cfg.logodds_ratio, cfg.logodds_clip)
+        n_prefetch, describe = 11, visit_descriptors
+    else:
+        kernel = _make_kernel(n_rays, cfg.logodds_ratio, cfg.logodds_clip)
+        n_prefetch, describe = 10, ray_descriptors
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=n_prefetch,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -261,7 +429,7 @@ def build_logodds_raywalk(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Wp, Hp), jnp.float32),
-        input_output_aliases={10: 0},
+        input_output_aliases={n_prefetch: 0},
         interpret=interpret,
     )
 
@@ -273,7 +441,7 @@ def build_logodds_raywalk(
 
     def step(grid, inp):
         pose, pts, m = inp
-        desc = ray_descriptors(pose, pts, m, cfg, K)
+        desc = describe(pose, pts, m, cfg, K)
         return call(*desc, grid), None
 
     grid, _ = jax.lax.scan(step, grid0, (poses, points, masks))

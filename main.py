@@ -74,9 +74,12 @@ def main(argv=None):
     # persistent compile cache: repeat CLI runs at the same shapes skip the
     # multi-minute XLA compile (bench.py uses the same cache directory)
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        base = os.path.dirname(os.path.abspath(__file__))
+    except NameError:  # exec'd without __file__ (tests drive main via -c)
+        base = os.getcwd()
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(base, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from lidar_slam_tpu import sensors

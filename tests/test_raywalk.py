@@ -114,3 +114,16 @@ def test_descriptors_match_dense_trace(seed):
         assert valid_ks[-1] - valid_ks[0] + 1 == valid_ks.size, f"ray {i}"
         assert k_in[i] == valid_ks[0], f"ray {i}"
         assert k_out[i] == valid_ks[-1], f"ray {i}"
+
+
+def test_raywalk_v1_matches_v2():
+    """v2's precomputed visit descriptors must reproduce v1's in-kernel
+    boundary walk exactly (same visits, same cells, same accumulation
+    order)."""
+    poses, pts, masks = _adversarial_scans(seed=7, n=8, r=96)
+    g1 = np.asarray(build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                          interpret=True, version=1))
+    g2 = np.asarray(build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                          interpret=True, version=2))
+    np.testing.assert_array_equal(g1, g2)
+    assert (g2 != 0).sum() > 500

@@ -108,3 +108,38 @@ def test_chunk_size_invariance():
     r2 = scan_matching.poses_from_scan_matching(odom, scans, masks, chunk_size=6)
     np.testing.assert_allclose(np.asarray(r1.poses), np.asarray(r2.poses),
                                atol=1e-9)
+
+
+def test_sorted_schedule_matches_chunked():
+    """The sorted-resume schedule is a pure re-scheduling: per-pair
+    transforms, errors, and iteration counts must match the plain chunked
+    schedule exactly (scan_matching.icp_all_pairs docstring contract)."""
+    from lidar_slam_tpu.ops import icp as icp_ops
+
+    rng = np.random.default_rng(3)
+    B, P = 21, 96  # deliberately NOT a multiple of the chunk size
+    tgt = rng.uniform(-3, 3, (B, P, 2))
+    ang = rng.normal(0, 0.15, B)
+    off = rng.normal(0, 0.1, (B, 2))
+    src = np.stack([
+        tgt[i] @ np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]]).T
+        + o for i, (a, o) in enumerate(zip(ang, off))])
+    src3 = np.asarray(icp_ops.lift_to_3d(jnp.asarray(src)))
+    tgt3 = np.asarray(icp_ops.lift_to_3d(jnp.asarray(tgt)))
+    masks = rng.random((B, P)) > 0.05
+    init = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+
+    outs = {}
+    for schedule in ("chunked", "sorted"):
+        T, err, iters = scan_matching.icp_all_pairs(
+            jnp.asarray(src3, jnp.float32), jnp.asarray(tgt3, jnp.float32),
+            jnp.asarray(masks), jnp.asarray(masks), jnp.asarray(init),
+            epsilon=1e-6, max_iters=60, chunk_size=8, planar=True,
+            schedule=schedule)
+        outs[schedule] = (np.asarray(T), np.asarray(err), np.asarray(iters))
+
+    np.testing.assert_array_equal(outs["chunked"][2], outs["sorted"][2])
+    np.testing.assert_allclose(outs["chunked"][0], outs["sorted"][0],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(outs["chunked"][1], outs["sorted"][1],
+                               rtol=0, atol=0)
