@@ -143,8 +143,12 @@ class PoseGraphConfig:
     # stop after 3 LM iterations with relative cost decrease below this
     # (GTSAM's relativeErrorTol analog; its default is 1e-5)
     cost_rtol: float = 1e-7
-    # "direct": exact block-tridiagonal LDL^T + Woodbury loop correction
-    # (models/pose_graph.py); "cg": preconditioned conjugate gradients
+    # "direct": exact block-tridiagonal LDL^T + Woodbury loop correction,
+    # valid for ANY loop topology; "banded": exact super-block-tridiagonal
+    # solve, REQUIRES max(loop_j - loop_i) <= fixed_interval (true for the
+    # pipeline's fixed-interval candidates, reference main.py:158-161) and
+    # is much faster there (cost independent of the candidate count);
+    # "cg": preconditioned conjugate gradients (models/pose_graph.py)
     solver: str = "direct"
 
 
@@ -164,5 +168,9 @@ class SlamConfig:
     map: MapConfig = MapConfig()
     camera: CameraConfig = CameraConfig()
     icp: IcpConfig = IcpConfig()
-    pose_graph: PoseGraphConfig = PoseGraphConfig()
+    # the SLAM pipeline's loop candidates are fixed-interval by
+    # construction (models/slam.py loop_closure_candidates), so it can use
+    # the banded exact solver; bare PoseGraphConfig keeps the
+    # any-topology "direct" default
+    pose_graph: PoseGraphConfig = PoseGraphConfig(solver="banded")
     filter: FilterConfig = FilterConfig()

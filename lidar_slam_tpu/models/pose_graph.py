@@ -155,13 +155,23 @@ def _inv3x3b(A):
     return adjT / det[..., None, None]
 
 
+def _binv(A):
+    """Batched block inverse: closed-form adjugate for 3x3 blocks, LU
+    (full matmul precision) for larger blocks (the banded solver's
+    super-blocks)."""
+    if A.shape[-1] == 3:
+        return _inv3x3b(A)
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.inv(A)
+
+
 def _thomas(A, O, R):
     """Plain block-tridiagonal solve T X = R via LDL^T + two scans.
 
-    A (n, 3, 3) diag blocks, O (n-1, 3, 3) sub-diag (O_i = T[i+1, i]),
-    R (n, 3, m). Batched over leading axes of each step's operands if the
+    A (n, b, b) diag blocks, O (n-1, b, b) sub-diag (O_i = T[i+1, i]),
+    R (n, b, m). Batched over leading axes of each step's operands if the
     arrays carry an extra batch axis BEFORE the chain axis: i.e. shapes
-    (B, n, 3, 3)/(B, n-1, 3, 3)/(B, n, 3, m) also work (the scan runs over
+    (B, n, b, b)/(B, n-1, b, b)/(B, n, b, m) also work (the scan runs over
     the chain axis, everything else is vectorized).
     """
     batched = A.ndim == 4
@@ -169,7 +179,7 @@ def _thomas(A, O, R):
     sw = (lambda x: jnp.swapaxes(x, -1, -2))
     A0 = A[:, 0] if batched else A[0]
     R0 = R[:, 0] if batched else R[0]
-    Dinv0 = _inv3x3b(A0)
+    Dinv0 = _binv(A0)
     z0 = R0
 
     def fwd(carry, inp):
@@ -178,7 +188,7 @@ def _thomas(A, O, R):
         L_i = _dot(O_p, Dinv_p)
         D_i = A_i - _dot(L_i, sw(O_p))
         z_i = R_i - _dot(L_i, z_p)
-        Dinv_i = _inv3x3b(D_i)
+        Dinv_i = _binv(D_i)
         return (Dinv_i, z_i), (Dinv_i, z_i, L_i)
 
     tail = (lambda x: jnp.moveaxis(x[:, 1:] if batched else x[1:], ax, 0))
@@ -202,7 +212,9 @@ def _thomas(A, O, R):
 def block_tridiag_solve(A, O, R, q: int = 64):
     """SPD block-tridiagonal solve T X = R, TPU-latency-aware.
 
-    A (n, 3, 3), O (n-1, 3, 3) with O_i = T[i+1, i], R (n, 3, m).
+    A (n, b, b), O (n-1, b, b) with O_i = T[i+1, i], R (n, b, m); any
+    block size b (3 for pose chains, 3*interval for the banded solver's
+    super-blocks).
 
     A plain Thomas recurrence costs ~2n sequential lax.scan steps
     (~1.5 us each on the v5e => ~15 ms at n~5k). For n > 2q this uses a
@@ -214,6 +226,7 @@ def block_tridiag_solve(A, O, R, q: int = 64):
     identical arithmetic to the dense factorization.
     """
     n = A.shape[0]
+    b = A.shape[-1]
     m = R.shape[-1]
     if n <= 2 * q:
         return _thomas(A, O, R)
@@ -221,40 +234,40 @@ def block_tridiag_solve(A, O, R, q: int = 64):
     B = -(-n // q)
     n_pad = B * q
     dtype = A.dtype
-    eye3 = jnp.eye(3, dtype=dtype)
+    eyeb = jnp.eye(b, dtype=dtype)
     if n_pad != n:
-        A = jnp.concatenate([A, jnp.broadcast_to(eye3, (n_pad - n, 3, 3))])
-        O = jnp.concatenate([O, jnp.zeros((n_pad - n, 3, 3), dtype)])
-        R = jnp.concatenate([R, jnp.zeros((n_pad - n, 3, m), dtype)])
+        A = jnp.concatenate([A, jnp.broadcast_to(eyeb, (n_pad - n, b, b))])
+        O = jnp.concatenate([O, jnp.zeros((n_pad - n, b, b), dtype)])
+        R = jnp.concatenate([R, jnp.zeros((n_pad - n, b, m), dtype)])
     # O index i couples poses i and i+1; pad with one trailing zero so it
     # reshapes to (B, q): O_r[b, j] couples pose b*q+j with b*q+j+1
-    O_r = jnp.concatenate([O, jnp.zeros((1, 3, 3), dtype)]).reshape(
-        B, q, 3, 3)
-    A_r = A.reshape(B, q, 3, 3)
-    R_r = R.reshape(B, q, 3, m)
+    O_r = jnp.concatenate([O, jnp.zeros((1, b, b), dtype)]).reshape(
+        B, q, b, b)
+    A_r = A.reshape(B, q, b, b)
+    R_r = R.reshape(B, q, b, m)
 
     # segment interiors: poses b*q .. b*q+q-2; interface: pose b*q+q-1
     A_int = A_r[:, :q - 1]
     O_int = O_r[:, :q - 2]
-    Lc = jnp.concatenate([jnp.zeros((1, 3, 3), dtype),
+    Lc = jnp.concatenate([jnp.zeros((1, b, b), dtype),
                           O_r[:-1, q - 1]])     # T[bq, bq-1] (left iface)
     Rc = O_r[:, q - 2]                          # T[v_b, last interior]
     Ic = O_r[:, q - 1]                          # T[(b+1)q, v_b]; zero at B-1
 
     # batched Thomas: T_int Y = [R_int | e_first | e_last]
-    Ef = jnp.zeros((B, q - 1, 3, 3), dtype).at[:, 0].set(eye3)
-    El = jnp.zeros((B, q - 1, 3, 3), dtype).at[:, q - 2].set(eye3)
+    Ef = jnp.zeros((B, q - 1, b, b), dtype).at[:, 0].set(eyeb)
+    El = jnp.zeros((B, q - 1, b, b), dtype).at[:, q - 2].set(eyeb)
     RHS = jnp.concatenate([R_r[:, :q - 1], Ef, El], axis=-1)
-    Y = _thomas(A_int, O_int, RHS)              # (B, q-1, 3, m+6)
-    YR, Yf, Yl = Y[..., :m], Y[..., m:m + 3], Y[..., m + 3:]
+    Y = _thomas(A_int, O_int, RHS)              # (B, q-1, b, m+2b)
+    YR, Yf, Yl = Y[..., :m], Y[..., m:m + b], Y[..., m + b:]
 
     # next-segment first-row quantities, shifted so index b refers to b+1
-    z33 = jnp.zeros((1, 3, 3), dtype)
-    Yf_next0 = jnp.concatenate([Yf[1:, 0], z33])       # (T_{b+1}^-1)_ff
+    zbb = jnp.zeros((1, b, b), dtype)
+    Yf_next0 = jnp.concatenate([Yf[1:, 0], zbb])       # (T_{b+1}^-1)_ff
     YR_next0 = jnp.concatenate(
-        [YR[1:, 0], jnp.zeros((1, 3, m), dtype)])
-    Yf_next_last = jnp.concatenate([Yf[1:, q - 2], z33])  # (T_{b+1}^-1)_lf
-    Rc_next = jnp.concatenate([Rc[1:], z33])
+        [YR[1:, 0], jnp.zeros((1, b, m), dtype)])
+    Yf_next_last = jnp.concatenate([Yf[1:, q - 2], zbb])  # (T_{b+1}^-1)_lf
+    Rc_next = jnp.concatenate([Rc[1:], zbb])
 
     sw = (lambda x: jnp.swapaxes(x, -1, -2))
     # reduced interface system (B blocks)
@@ -265,15 +278,15 @@ def block_tridiag_solve(A, O, R, q: int = 64):
     R_hat = (R_r[:, q - 1]
              - _dot(Rc, YR[:, q - 2])
              - _dot(sw(Ic), YR_next0))
-    x_hat = _thomas(A_hat, O_hat, R_hat)        # (B, 3, m)
+    x_hat = _thomas(A_hat, O_hat, R_hat)        # (B, b, m)
 
     # interior back-substitution
-    x_left = jnp.concatenate([jnp.zeros((1, 3, m), dtype), x_hat[:-1]])
+    x_left = jnp.concatenate([jnp.zeros((1, b, m), dtype), x_hat[:-1]])
     x_int = (YR
              - _dot(Yf, _dot(Lc, x_left)[:, None])
              - _dot(Yl, _dot(sw(Rc), x_hat)[:, None]))
     X = jnp.concatenate([x_int, x_hat[:, None]], axis=1).reshape(
-        n_pad, 3, m)
+        n_pad, b, m)
     return X[:n]
 
 
@@ -296,7 +309,7 @@ _factor_r_and_J = jax.vmap(
 )
 
 
-@partial(jax.jit, static_argnames=("max_iters", "cg_iters", "solver"))
+@partial(jax.jit, static_argnames=("max_iters", "cg_iters", "solver", "band"))
 def optimize(
     poses0: jnp.ndarray,
     graph: PoseGraph,
@@ -308,6 +321,7 @@ def optimize(
     cg_tol: float = 1e-8,
     cost_rtol: float = 1e-9,
     solver: str = "direct",
+    band: int = 10,
 ) -> LMResult:
     """Levenberg-Marquardt with explicit block-sparse normal equations.
 
@@ -493,10 +507,94 @@ def optimize(
                           precision=jax.lax.Precision.HIGHEST)
         return yb - corr
 
+    def banded_solve(J, lam, g):
+        """Exact Newton step for FIXED-INTERVAL loop graphs.
+
+        Every loop factor in the pipeline couples pose i to pose i+interval
+        (reference: main.py:158-161), so H = J^T J + lam I is block-BANDED
+        with block bandwidth <= band. Grouping `band` consecutive poses into
+        one (3*band, 3*band) super-block makes H block-TRIDIAGONAL in
+        super-blocks, and the SPIKE solve applies directly with a single
+        RHS — no Woodbury panel at all. Unlike direct_solve (whose RHS
+        panel is 1 + 3*n_candidates columns wide even when nearly all
+        candidates are gate-rejected), the cost here is independent of the
+        loop count. EXACT for any graph with max(loop_j - loop_i) <= band;
+        callers with arbitrary loop topology must use solver="direct".
+        """
+        Jp, Jbi, Jbj, Jli, Jlj = J
+        G = band
+        bs = 3 * G
+        n_sup = -(-n // G)
+        n_padded = n_sup * G
+        ii = jnp.arange(3)[:, None]
+        jj = jnp.arange(3)[None, :]
+
+        def jtj(Ja, Jb):
+            return jnp.einsum("bij,bik->bjk", Ja, Jb, precision=_HI)
+
+        # per-pose 3x3 diagonal blocks of H
+        D = jnp.zeros((n, 3, 3), dtype) + lam * jnp.eye(3, dtype=dtype)
+        D = D.at[0].add(_dot(Jp.T, Jp))
+        D = D.at[idx_i].add(jtj(Jbi, Jbi))
+        D = D.at[idx_j].add(jtj(Jbj, Jbj))
+        D = D.at[graph.loop_i].add(jtj(Jli, Jli))
+        D = D.at[graph.loop_j].add(jtj(Jlj, Jlj))
+
+        # off-diagonal pose-pair blocks M = H[r, c] (r > c, r - c <= G)
+        off_r = jnp.concatenate([idx_j, graph.loop_j])
+        off_c = jnp.concatenate([idx_i, graph.loop_i])
+        off_M = jnp.concatenate([jtj(Jbj, Jbi), jtj(Jlj, Jli)])
+
+        # scatter pose blocks into super-block tridiagonal storage
+        s_all = jnp.arange(n) // G
+        o_all = jnp.arange(n) % G
+        A_sup = jnp.zeros((n_sup, bs, bs), dtype)
+        A_sup = A_sup.at[s_all[:, None, None],
+                         (3 * o_all)[:, None, None] + ii,
+                         (3 * o_all)[:, None, None] + jj].add(D)
+        # padded tail poses: identity diagonal, zero coupling, zero rhs
+        if n_padded != n:
+            pad = jnp.arange(n, n_padded)
+            A_sup = A_sup.at[pad[:, None, None] // G,
+                             (3 * (pad % G))[:, None, None] + ii,
+                             (3 * (pad % G))[:, None, None] + jj].add(
+                jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                 (n_padded - n, 3, 3)))
+
+        s_r, o_r = off_r // G, off_r % G
+        s_c, o_c = off_c // G, off_c % G
+        same = (s_r == s_c)[:, None, None]
+        adj = (s_r == s_c + 1)[:, None, None]
+        MT = jnp.swapaxes(off_M, -1, -2)
+        # same-super entries land in A (both triangles)
+        A_sup = A_sup.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
+                         (3 * o_r)[:, None, None] + ii,
+                         (3 * o_c)[:, None, None] + jj].add(
+            jnp.where(same, off_M, 0.0))
+        A_sup = A_sup.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
+                         (3 * o_c)[:, None, None] + ii,
+                         (3 * o_r)[:, None, None] + jj].add(
+            jnp.where(same, MT, 0.0))
+        # adjacent-super entries land in O[s_c] = H[super s_c+1, super s_c]
+        O_sup = jnp.zeros((max(n_sup - 1, 1), bs, bs), dtype)
+        O_sup = O_sup.at[jnp.where(adj[:, 0, 0], s_c, 0)[:, None, None],
+                         (3 * o_r)[:, None, None] + ii,
+                         (3 * o_c)[:, None, None] + jj].add(
+            jnp.where(adj, off_M, 0.0))
+
+        R_sup = jnp.zeros((n_sup, bs, 1), dtype)
+        R_sup = R_sup.at[s_all[:, None], (3 * o_all)[:, None] + ii[:, 0],
+                         0].add(-g)
+
+        X = block_tridiag_solve(A_sup, O_sup, R_sup, q=32)
+        return X.reshape(n_padded, 3)[:n]
+
     def step(state):
         x, lam, cost, it, done, stalls, dx_prev = state
         J, g, _ = linearize(x)
-        if solver == "direct":
+        if solver == "banded":
+            dx = banded_solve(J, lam, g)
+        elif solver == "direct":
             dx = direct_solve(J, lam, g)
         else:
             # warm-started, block-Jacobi-preconditioned CG
@@ -533,7 +631,8 @@ def optimize_with_config(poses0: jnp.ndarray, graph: PoseGraph,
                     lambda_init=cfg.lambda_init, lambda_up=cfg.lambda_up,
                     lambda_down=cfg.lambda_down, cg_iters=cfg.cg_iters,
                     cg_tol=cfg.cg_tol, cost_rtol=cfg.cost_rtol,
-                    solver=getattr(cfg, "solver", "direct"))
+                    solver=getattr(cfg, "solver", "direct"),
+                    band=cfg.fixed_interval)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -410,7 +410,9 @@ def build_logodds_raywalk(
     Wp = _round_up(cfg.width, TS) + TS
     Hp = _round_up(cfg.height, _LANES) + _LANES
     if version == 2:
-        if not (K < 1024 and Wp <= 32 * TS and Hp <= 16 * _LANES):
+        # field widths: k fields 10 bits, lane-tile 4 bits, row-tile the
+        # remaining top bits (non-negative in int32 => <= 127 tiles)
+        if not (K < 1024 and Wp <= 127 * TS and Hp <= 16 * _LANES):
             version = 1  # packed-word fields too small; fall back
 
     if version == 2:

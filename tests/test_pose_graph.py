@@ -147,3 +147,47 @@ def test_prior_anchors_gauge():
     res = pose_graph.optimize_with_config(jnp.asarray(init), graph)
     # pose 0 stays within the prior sigma of its measured value
     np.testing.assert_allclose(np.asarray(res.poses)[0], gt[0], atol=0.05)
+
+
+def _interval_graph(rng, n, G, span_mode="fixed"):
+    """Noisy chain + loops whose spans never exceed G (the banded-solver
+    contract). span_mode="mixed" uses arbitrary spans in [1, G] at
+    arbitrary offsets (same-super and cross-super cases)."""
+    gt = np.cumsum(rng.normal(0, 0.05, (n, 3)), 0)
+    rel = se2.get_relative_pose(jnp.asarray(gt[:-1]), jnp.asarray(gt[1:]))
+    rel = se2.T_from_pose(se2.pose_from_T(rel)
+                          + jnp.asarray(rng.normal(0, 0.01, (n - 1, 3))))
+    if span_mode == "fixed":
+        li = np.arange(0, n - G - 1, G)
+        lj = li + G
+    else:
+        li = rng.integers(0, n - G, 25)
+        lj = li + rng.integers(1, G + 1, 25)
+    lm = se2.get_relative_pose(jnp.asarray(gt[li]), jnp.asarray(gt[lj]))
+    mask = jnp.asarray(rng.random(len(li)) > 0.3)
+    init = jnp.asarray(gt + rng.normal(0, 0.02, (n, 3)))
+    graph = pose_graph.make_graph(
+        rel, PoseGraphConfig(), loop_i=jnp.asarray(li),
+        loop_j=jnp.asarray(lj), loop_meas=lm, loop_mask=mask)
+    return init, graph
+
+
+@pytest.mark.parametrize("n,G,span_mode", [
+    (97, 10, "fixed"),    # n % G != 0 (padded tail super-block)
+    (100, 10, "mixed"),   # arbitrary offsets and spans <= G
+    (64, 7, "mixed"),
+    (205, 10, "fixed"),   # n_sup > 2q: exercises the SPIKE path
+])
+def test_banded_solver_matches_direct(n, G, span_mode):
+    """The banded super-block solver must reach the same optimum as the
+    any-topology Woodbury solver on fixed-interval graphs (its contract:
+    max(loop_j - loop_i) <= band)."""
+    rng = np.random.default_rng(n * 7 + G)
+    init, graph = _interval_graph(rng, n, G, span_mode)
+    rd = pose_graph.optimize(init, graph, max_iters=30, solver="direct")
+    rb = pose_graph.optimize(init, graph, max_iters=30, solver="banded",
+                             band=G)
+    assert int(rd.iterations) == int(rb.iterations)
+    np.testing.assert_allclose(np.asarray(rb.poses), np.asarray(rd.poses),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(rb.cost), float(rd.cost), rtol=1e-6)
