@@ -69,10 +69,12 @@ def icp_all_pairs(
     """
     B, P = src.shape[0], src.shape[1]
     if nn_backend == "auto":
-        # the Pallas distance+argmin kernel wins ~15% on TPU for
-        # scan-sized targets; jnp elsewhere (and for VMEM-busting targets)
-        nn_backend = ("pallas" if jax.default_backend() == "tpu"
-                      and tgt.shape[1] <= 4096 else "jnp")
+        # round-2 measurement (PERF.md): at scan scale (64 x 1081 x 1081)
+        # the NN pass is VPU-elementwise-bound and XLA's fused jnp
+        # formulation is ~1.5x FASTER per ICP iteration than the Pallas
+        # kernel (1.08 vs 1.64 ms/iter incl. Kabsch); pallas remains
+        # available via nn_backend="pallas"
+        nn_backend = "jnp"
     C = min(chunk_size, B)
     n_chunks = -(-B // C)
     pad = n_chunks * C - B

@@ -6,10 +6,23 @@ tiles (batch, source) blocks over the grid and keeps each (TN, Mp) distance
 tile in VMEM only — one MXU pass (src_tile @ tgt^T) fused with the row
 argmin per batch lane, so HBM traffic is just points in, indices out.
 
+The row argmin is a PACKED-KEY min: distances are clamped non-negative,
+bit-cast to int32 (order-preserving for non-negative floats), the low 11
+mantissa bits are replaced by the target lane index, and a plain integer
+min-reduce yields both winner and index in one pass. An index-tracking
+argmin on (TN, Mp) costs ~4x more VPU work than a bare min; the packing
+trades that for distance comparisons truncated to 13 mantissa bits:
+  - ties after truncation resolve to the LOWEST index (reference numpy
+    argmin tie-break, modules/icp.py:40);
+  - targets whose true distances differ by less than ~2^-12 relative may
+    resolve to either index (the chosen neighbor's distance is within
+    that factor of optimal). bench.py gates every TPU run on this
+    distance-gap contract.
+
 Layout: coordinates padded to 8 sublanes; target axis padded to a multiple
 of 128 lanes; the int32 output is tiled (8 batches x TN sources) to satisfy
 TPU (8, 128) tiling. Masked/padded targets carry a +BIG additive term so
-they never win the argmin (same contract as ops/nn.py).
+they never win the min (same contract as ops/nn.py).
 """
 
 from __future__ import annotations
@@ -23,40 +36,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
 _TB = 8  # batch tile (sublane multiple for the int32 output)
+_IDX_BITS = 11  # low mantissa bits carrying the target index
+_IDX_MASK = (1 << _IDX_BITS) - 1
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _packed_min(s, tt, t2m):
+    """Distance row block + packed-key argmin for one batch lane.
+
+    s (TN, 8) source coords, tt (8, Mp) transposed targets, t2m (1, Mp)
+    masked |t|^2. Returns (key_tile, kmin) where key_tile is the packed
+    (TN, Mp) int32 keys and kmin their row minima (TN, 1)."""
+    d = t2m - 2.0 * jax.lax.dot(
+        s, tt, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    # add |s|^2 per row and clamp: non-negative floats bit-cast to int32
+    # preserve order (cancellation can give tiny negatives)
+    s2 = jnp.sum(s * s, axis=-1, keepdims=True)
+    d = jnp.maximum(d + s2, 0.0)
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    key = (jax.lax.bitcast_convert_type(d, jnp.int32)
+           & ~jnp.int32(_IDX_MASK)) | m_iota
+    return key, jnp.min(key, axis=-1, keepdims=True)
+
+
 def _nn_kernel(src_ref, tgt_t_ref, t2m_ref, out_ref):
     for b in range(_TB):  # static unroll over the batch tile
-        s = src_ref[b]  # (TN, 8)
-        tt = tgt_t_ref[b]  # (8, Mp)
-        # full-f32 MXU pass: bf16 default would perturb distances enough to
-        # flip argmin winners vs the jnp reference path
-        d = t2m_ref[b] - 2.0 * jax.lax.dot(
-            s, tt, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        out_ref[b, :] = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        _, kmin = _packed_min(src_ref[b], tgt_t_ref[b], t2m_ref[b])
+        out_ref[b, :] = (kmin & _IDX_MASK)[:, 0]
 
 
 def _nn_matched_kernel(src_ref, tgt_t_ref, t2m_ref, out_ref, out_m_ref):
     for b in range(_TB):
-        s = src_ref[b]
-        tt = tgt_t_ref[b]
-        d = t2m_ref[b] - 2.0 * jax.lax.dot(
-            s, tt, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
-        out_ref[b, :] = idx
-        # matched coordinates via a one-hot MXU pass: exactly one nonzero
-        # term per row, so the result equals tgt[idx] bit-for-bit — and no
-        # HBM gather (take_along_axis is the slow op in the ICP inner loop)
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        onehot = (m_iota == idx[:, None]).astype(jnp.float32)
+        key, kmin = _packed_min(src_ref[b], tgt_t_ref[b], t2m_ref[b])
+        out_ref[b, :] = (kmin & _IDX_MASK)[:, 0]
+        # matched coordinates via a one-hot MXU pass: packed keys are
+        # unique per lane, so exactly one nonzero term per row and the
+        # result equals tgt[idx] bit-for-bit — no HBM gather
+        # (take_along_axis is the slow op in the ICP inner loop)
+        onehot = (key == kmin).astype(jnp.float32)
         out_m_ref[b] = jax.lax.dot_general(
-            tt, onehot, (((1,), (1,)), ((), ())),
+            tgt_t_ref[b], onehot, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (8, TN)
 
@@ -66,21 +89,20 @@ def nearest_neighbors_pallas(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
     tgt_mask: jnp.ndarray | None = None,
-    tile_n: int = 256,
+    tile_n: int | None = None,
     interpret: bool = False,
     return_matched: bool = False,
 ):
-    """Exact masked NN indices: src (B, N, D), tgt (B, M, D) -> (B, N) int32.
+    """Masked NN indices: src (B, N, D), tgt (B, M, D) -> (B, N) int32.
 
-    Semantics match ops/nn.nearest_neighbors (lowest-index ties) up to
-    floating NEAR-TIES: the compiled MXU contraction rounds distances
-    differently from XLA's einsum lowering, so targets at float-equal
-    distance can resolve to a different (equidistant) index (~0.05% of
-    indices on real scans; bench.py gates on the chosen-neighbor distance
-    gap). In interpreter mode the indices are bit-identical.
-    Fits (tile_n, Mp) in VMEM: suitable for M up to a few thousand points
-    (the scan-matching regime); larger targets should use the jnp path or a
-    chunked reduction.
+    Semantics match ops/nn.nearest_neighbors (lowest-index ties) up to the
+    packed-key truncation documented in the module docstring: targets
+    within ~2^-12 relative distance of each other may resolve to either
+    index (bench.py gates on the chosen-neighbor distance gap). Identical
+    behavior compiled and in interpreter mode. Requires M <= 2048 (the
+    index field width); larger targets should use the jnp path or a
+    chunked reduction. Fits (tile_n, Mp) in VMEM: suitable for M up to a
+    few thousand points (the scan-matching regime).
 
     With return_matched=True also returns tgt[idx] as (B, N, D), computed
     in-kernel by a one-hot MXU pass (bit-identical to the gather, but
@@ -89,8 +111,16 @@ def nearest_neighbors_pallas(
     B, N, D = src.shape
     M = tgt.shape[1]
     Bp = _round_up(B, _TB)
+    if tile_n is None:
+        # whole source axis per grid step: fewer, bigger steps measurably
+        # beat small tiles (per-grid-step overhead dominates tiny kernels)
+        tile_n = _round_up(N, 128)
     Np = _round_up(N, tile_n)
     Mp = _round_up(M, 128)
+    if Mp > (1 << _IDX_BITS):
+        raise ValueError(
+            f"target axis {M} exceeds the packed-key index field "
+            f"({1 << _IDX_BITS}); use the jnp path")
     dtype = jnp.float32
 
     srcp = jnp.zeros((Bp, Np, 8), dtype).at[:B, :N, :D].set(src.astype(dtype))
