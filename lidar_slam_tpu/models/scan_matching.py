@@ -47,7 +47,7 @@ def icp_all_pairs(
     chunk_size: int = 64,
     planar: bool = True,
     nn_backend: str = "auto",
-    schedule: str = "sorted",
+    schedule: str = "phased",
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -57,14 +57,17 @@ def icp_all_pairs(
     number of chunks; padding pairs run with a single valid point and
     converge immediately.
 
-    schedule="sorted" (default) runs ONE iteration for every pair first,
-    then sorts pairs by their post-iteration error (already-converged pairs
-    first) before chunking the remaining while_loops. Pairs needing similar
-    iteration counts land in the same chunk, so a chunk's cost — its
-    slowest member — stays near its mean (measured at dataset-20 scale the
-    executed-iteration overhead is 1.75x the necessary count unsorted).
-    The schedule changes only which pairs share a while_loop; every pair's
-    iterate sequence (and the returned T/error/iteration count) is
+    schedule="phased" (default): every outer phase runs ONE iteration for
+    every still-live pair, then re-compacts live pairs to the front (stable
+    sort on the done flag) before the next phase; chunks whose pairs are
+    all done cost one predicate. This executes ceil(live_t / C) chunk
+    iterations at every iteration depth t — the optimum for any
+    chunk-granular schedule, with no difficulty predictor. (A single
+    up-front sort by post-first-iteration error was measured USELESS at
+    dataset-20 scale: 612 executed chunk-iterations vs 608 unsorted vs 338
+    ideal — error does not predict iterations-to-converge. Phased executes
+    ~350.) The schedule changes only which pairs share a dispatch; every
+    pair's iterate sequence (and the returned T/error/iteration count) is
     identical to schedule="chunked".
     """
     B, P = src.shape[0], src.shape[1]
@@ -117,39 +120,51 @@ def icp_all_pairs(
         return (T.reshape((-1, 4, 4))[:B], errs.reshape(-1)[:B],
                 its.reshape(-1)[:B])
 
-    # --- sorted-resume schedule ---
-    # phase 0: exactly one iteration for every pair (work any schedule must
-    # do anyway), yielding each pair's resumable carry + difficulty proxy
+    # --- phased-resort schedule ---
+    tmap = jax.tree_util.tree_map
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+
+    def step_chunk(args):
+        s, t, sm, tm, carry = args
+        # all-done chunks cost one predicate, not a full NN pass
+        return jax.lax.cond(
+            jnp.any(~carry.done),
+            lambda a: icp_ops.icp_step_batch(*a, **kwargs),
+            lambda a: a[4],
+            (s, t, sm, tm, carry))
+
+    # phase 0: one iteration for every pair (work any schedule must do)
     def phase0(args):
         s, t, sm, tm, i0 = args
         carry = icp_ops.initial_icp_carry(i0, C, P, s.dtype)
         return icp_ops.icp_step_batch(s, t, sm, tm, carry, **kwargs)
 
-    c1 = jax.lax.map(phase0, (resh(src_p), resh(tgt_p), resh(src_mask_p),
-                              resh(tgt_mask_p), resh(init_p)))
-    c1 = jax.tree_util.tree_map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), c1)
+    c = tmap(flat, jax.lax.map(
+        phase0, (resh(src_p), resh(tgt_p), resh(src_mask_p),
+                 resh(tgt_mask_p), resh(init_p))))
 
-    # sort: converged pairs first (their chunks' while_loops exit without
-    # running a body), live pairs by current error ascending
-    key = jnp.where(c1.done, -jnp.inf, c1.err)
-    order = jnp.argsort(key)
-    inv = jnp.argsort(order)
-    carry_s = jax.tree_util.tree_map(lambda x: x[order], c1)
+    state = (c, jnp.arange(c.done.shape[0]), src_p, tgt_p,
+             src_mask_p, tgt_mask_p)
 
-    def phase1(args):
-        s, t, sm, tm, carry = args
-        res = icp_ops.resume_icp_batch(s, t, sm, tm, carry, **kwargs)
-        return res.T, res.error, res.iters
+    def cond(st):
+        return jnp.any(~st[0].done)
 
-    T, errs, its = jax.lax.map(
-        phase1, (resh(src_p[order]), resh(tgt_p[order]),
-                 resh(src_mask_p[order]), resh(tgt_mask_p[order]),
-                 jax.tree_util.tree_map(resh, carry_s)))
-    T = T.reshape((-1, 4, 4))[inv][:B]
-    errs = errs.reshape(-1)[inv][:B]
-    its = its.reshape(-1)[inv][:B]
-    return T, errs, its
+    def body(st):
+        c, orig, s, t, sm, tm = st
+        # live pairs to the front (stable sort on the done flag), so live
+        # work occupies ceil(live / C) chunks and the rest are skipped
+        order = jnp.argsort(c.done, stable=True)
+        c = tmap(lambda x: x[order], c)
+        orig, s, t = orig[order], s[order], t[order]
+        sm, tm = sm[order], tm[order]
+        c = tmap(flat, jax.lax.map(
+            step_chunk, (resh(s), resh(t), resh(sm), resh(tm),
+                         tmap(resh, c))))
+        return (c, orig, s, t, sm, tm)
+
+    c, orig = jax.lax.while_loop(cond, body, state)[:2]
+    inv = jnp.argsort(orig)
+    return c.T[inv][:B], c.err[inv][:B], c.k[inv][:B]
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk_size"))

@@ -110,8 +110,8 @@ def test_chunk_size_invariance():
                                atol=1e-9)
 
 
-def test_sorted_schedule_matches_chunked():
-    """The sorted-resume schedule is a pure re-scheduling: per-pair
+def test_phased_schedule_matches_chunked():
+    """The phased-resort schedule is a pure re-scheduling: per-pair
     transforms, errors, and iteration counts must match the plain chunked
     schedule exactly (scan_matching.icp_all_pairs docstring contract)."""
     from lidar_slam_tpu.ops import icp as icp_ops
@@ -130,7 +130,7 @@ def test_sorted_schedule_matches_chunked():
     init = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
 
     outs = {}
-    for schedule in ("chunked", "sorted"):
+    for schedule in ("chunked", "phased"):
         T, err, iters = scan_matching.icp_all_pairs(
             jnp.asarray(src3, jnp.float32), jnp.asarray(tgt3, jnp.float32),
             jnp.asarray(masks), jnp.asarray(masks), jnp.asarray(init),
@@ -138,8 +138,8 @@ def test_sorted_schedule_matches_chunked():
             schedule=schedule)
         outs[schedule] = (np.asarray(T), np.asarray(err), np.asarray(iters))
 
-    np.testing.assert_array_equal(outs["chunked"][2], outs["sorted"][2])
-    np.testing.assert_allclose(outs["chunked"][0], outs["sorted"][0],
+    np.testing.assert_array_equal(outs["chunked"][2], outs["phased"][2])
+    np.testing.assert_allclose(outs["chunked"][0], outs["phased"][0],
                                rtol=0, atol=0)
-    np.testing.assert_allclose(outs["chunked"][1], outs["sorted"][1],
+    np.testing.assert_allclose(outs["chunked"][1], outs["phased"][1],
                                rtol=0, atol=0)
