@@ -362,11 +362,13 @@ def optimize(
 
         # gradient g = J^T r, accumulated per variable
         g = jnp.zeros((n, 3), dtype)
-        g = g.at[0].add(Jp.T @ rp)
-        g = g.at[idx_i].add(jnp.einsum("bij,bi->bj", Jbi, rb))
-        g = g.at[idx_j].add(jnp.einsum("bij,bi->bj", Jbj, rb))
-        g = g.at[graph.loop_i].add(jnp.einsum("bij,bi->bj", Jli, rl))
-        g = g.at[graph.loop_j].add(jnp.einsum("bij,bi->bj", Jlj, rl))
+        g = g.at[0].add(jnp.matmul(Jp.T, rp, precision=_HI))
+        g = g.at[idx_i].add(jnp.einsum("bij,bi->bj", Jbi, rb, precision=_HI))
+        g = g.at[idx_j].add(jnp.einsum("bij,bi->bj", Jbj, rb, precision=_HI))
+        g = g.at[graph.loop_i].add(
+            jnp.einsum("bij,bi->bj", Jli, rl, precision=_HI))
+        g = g.at[graph.loop_j].add(
+            jnp.einsum("bij,bi->bj", Jlj, rl, precision=_HI))
 
         cost = 0.5 * (jnp.dot(rp, rp) + jnp.sum(rb * rb) + jnp.sum(rl * rl))
         return (Jp, Jbi, Jbj, Jli, Jlj), g, cost
@@ -381,28 +383,6 @@ def optimize(
         rl = rl * graph.loop_mask.astype(dtype)[:, None]
         return 0.5 * (jnp.dot(rp, rp) + jnp.sum(rb * rb) + jnp.sum(rl * rl))
 
-    def _inv3x3(A):
-        """Batched closed-form (adjugate) 3x3 inverse; A (n, 3, 3) SPD+damped."""
-        a, b, c = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
-        d, e, f = A[:, 1, 0], A[:, 1, 1], A[:, 1, 2]
-        g_, h, i = A[:, 2, 0], A[:, 2, 1], A[:, 2, 2]
-        C00 = e * i - f * h
-        C01 = -(d * i - f * g_)
-        C02 = d * h - e * g_
-        C10 = -(b * i - c * h)
-        C11 = a * i - c * g_
-        C12 = -(a * h - b * g_)
-        C20 = b * f - c * e
-        C21 = -(a * f - c * d)
-        C22 = a * e - b * d
-        det = a * C00 + b * C01 + c * C02
-        adjT = jnp.stack([
-            jnp.stack([C00, C10, C20], -1),
-            jnp.stack([C01, C11, C21], -1),
-            jnp.stack([C02, C12, C22], -1),
-        ], -2)
-        return adjT / det[:, None, None]
-
     def make_preconditioner(J, lam):
         """Block-Jacobi: invert the (3, 3) diagonal blocks of J^T J + lam I.
 
@@ -412,13 +392,13 @@ def optimize(
         """
         Jp, Jbi, Jbj, Jli, Jlj = J
         D = jnp.zeros((n, 3, 3), dtype)
-        D = D.at[0].add(Jp.T @ Jp)
+        D = D.at[0].add(_dot(Jp.T, Jp))
         D = D.at[idx_i].add(jnp.einsum("bij,bik->bjk", Jbi, Jbi))
         D = D.at[idx_j].add(jnp.einsum("bij,bik->bjk", Jbj, Jbj))
         D = D.at[graph.loop_i].add(jnp.einsum("bij,bik->bjk", Jli, Jli))
         D = D.at[graph.loop_j].add(jnp.einsum("bij,bik->bjk", Jlj, Jlj))
         D = D + lam * jnp.eye(3, dtype=dtype)
-        Dinv = _inv3x3(D)
+        Dinv = _inv3x3b(D)
         return lambda v: jnp.einsum("nij,nj->ni", Dinv, v)
 
     def make_matvec(J, lam):
@@ -443,9 +423,6 @@ def optimize(
 
     n_loops = int(graph.loop_i.shape[0])
 
-    def _dot33(a, b):
-        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
-
     def direct_solve(J, lam, g):
         """Exact Newton step: block-tridiagonal LDL^T (Thomas) over the
         chain part of J^T J + lam I, with a Woodbury correction for the
@@ -462,7 +439,7 @@ def optimize(
 
         # chain tridiagonal blocks (loops live entirely in U U^T)
         A = jnp.zeros((n, 3, 3), dtype) + lam * eye3
-        A = A.at[0].add(Jp.T @ Jp)
+        A = A.at[0].add(_dot(Jp.T, Jp))
         A = A.at[idx_i].add(jnp.einsum("bij,bik->bjk", Jbi, Jbi,
                                        precision=jax.lax.Precision.HIGHEST))
         A = A.at[idx_j].add(jnp.einsum("bij,bik->bjk", Jbj, Jbj,
@@ -576,11 +553,15 @@ def optimize(
                          (3 * o_r)[:, None, None] + jj].add(
             jnp.where(same, MT, 0.0))
         # adjacent-super entries land in O[s_c] = H[super s_c+1, super s_c]
+        # padded to length >= 1 so the masked scatter below always has a
+        # valid row 0 to dump zeros into; sliced to the true n_sup - 1
+        # before the solve (n <= band => n_sup == 1 => NO off-diagonals)
         O_sup = jnp.zeros((max(n_sup - 1, 1), bs, bs), dtype)
         O_sup = O_sup.at[jnp.where(adj[:, 0, 0], s_c, 0)[:, None, None],
                          (3 * o_r)[:, None, None] + ii,
                          (3 * o_c)[:, None, None] + jj].add(
             jnp.where(adj, off_M, 0.0))
+        O_sup = O_sup[:n_sup - 1]
 
         R_sup = jnp.zeros((n_sup, bs, 1), dtype)
         R_sup = R_sup.at[s_all[:, None], (3 * o_all)[:, None] + ii[:, 0],

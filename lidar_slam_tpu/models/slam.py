@@ -181,10 +181,18 @@ def run_slam(
             float(max_distance), float(max_yaw_deg), chunk_size=chunk_size)
         result.n_loop_closures = int(np.asarray(accept).sum())
 
+        # keep the banded solver's band in sync with the ACTUAL loop span:
+        # the run_slam fixed_interval argument (CLI --fixed_interval)
+        # overrides the config default, and band = cfg.fixed_interval in
+        # optimize_with_config — a mismatch would silently drop loop
+        # Hessian blocks that span more than `band` poses
+        import dataclasses
+        pg_cfg = dataclasses.replace(cfg.pose_graph,
+                                     fixed_interval=fixed_interval)
         opt = pose_graph.optimize_trajectory(
             final_poses, sm.relative_poses, jnp.asarray(cand),
             jnp.asarray(cand + fixed_interval), loop_T, accept,
-            cfg.pose_graph)
+            pg_cfg)
         result.poses_optimized = np.asarray(opt.poses)
         final_poses = opt.poses
 

@@ -36,15 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
 _TB = 8  # batch tile (sublane multiple for the int32 output)
-_IDX_BITS = 11  # low mantissa bits carrying the target index
-_IDX_MASK = (1 << _IDX_BITS) - 1
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _packed_min(s, tt, t2m):
+def _packed_min(s, tt, t2m, idx_bits):
     """Distance row block + packed-key argmin for one batch lane.
 
     s (TN, 8) source coords, tt (8, Mp) transposed targets, t2m (1, Mp)
@@ -59,20 +57,24 @@ def _packed_min(s, tt, t2m):
     d = jnp.maximum(d + s2, 0.0)
     m_iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     key = (jax.lax.bitcast_convert_type(d, jnp.int32)
-           & ~jnp.int32(_IDX_MASK)) | m_iota
+           & ~jnp.int32((1 << idx_bits) - 1)) | m_iota
     return key, jnp.min(key, axis=-1, keepdims=True)
 
 
-def _nn_kernel(src_ref, tgt_t_ref, t2m_ref, out_ref):
+def _nn_kernel(src_ref, tgt_t_ref, t2m_ref, out_ref, *, idx_bits):
+    mask = (1 << idx_bits) - 1
     for b in range(_TB):  # static unroll over the batch tile
-        _, kmin = _packed_min(src_ref[b], tgt_t_ref[b], t2m_ref[b])
-        out_ref[b, :] = (kmin & _IDX_MASK)[:, 0]
+        _, kmin = _packed_min(src_ref[b], tgt_t_ref[b], t2m_ref[b], idx_bits)
+        out_ref[b, :] = (kmin & mask)[:, 0]
 
 
-def _nn_matched_kernel(src_ref, tgt_t_ref, t2m_ref, out_ref, out_m_ref):
+def _nn_matched_kernel(src_ref, tgt_t_ref, t2m_ref, out_ref, out_m_ref, *,
+                       idx_bits):
+    mask = (1 << idx_bits) - 1
     for b in range(_TB):
-        key, kmin = _packed_min(src_ref[b], tgt_t_ref[b], t2m_ref[b])
-        out_ref[b, :] = (kmin & _IDX_MASK)[:, 0]
+        key, kmin = _packed_min(src_ref[b], tgt_t_ref[b], t2m_ref[b],
+                                idx_bits)
+        out_ref[b, :] = (kmin & mask)[:, 0]
         # matched coordinates via a one-hot MXU pass: packed keys are
         # unique per lane, so exactly one nonzero term per row and the
         # result equals tgt[idx] bit-for-bit — no HBM gather
@@ -98,9 +100,10 @@ def nearest_neighbors_pallas(
     Semantics match ops/nn.nearest_neighbors (lowest-index ties) up to the
     packed-key truncation documented in the module docstring: targets
     within ~2^-12 relative distance of each other may resolve to either
-    index (bench.py gates on the chosen-neighbor distance gap). Identical
-    behavior compiled and in interpreter mode. Requires M <= 2048 (the
-    index field width); larger targets should use the jnp path or a
+    index (bench.py gates on the chosen-neighbor distance gap); above
+    M = 2048 the index field widens to 12 bits and the truncation factor
+    coarsens to ~2^-11. Identical behavior compiled and in interpreter
+    mode. Requires M <= 4096; larger targets should use the jnp path or a
     chunked reduction. Fits (tile_n, Mp) in VMEM: suitable for M up to a
     few thousand points (the scan-matching regime).
 
@@ -117,10 +120,11 @@ def nearest_neighbors_pallas(
         tile_n = _round_up(N, 128)
     Np = _round_up(N, tile_n)
     Mp = _round_up(M, 128)
-    if Mp > (1 << _IDX_BITS):
+    idx_bits = 11 if Mp <= (1 << 11) else 12
+    if Mp > (1 << idx_bits):
         raise ValueError(
             f"target axis {M} exceeds the packed-key index field "
-            f"({1 << _IDX_BITS}); use the jnp path")
+            f"({1 << idx_bits}); use the jnp path")
     dtype = jnp.float32
 
     srcp = jnp.zeros((Bp, Np, 8), dtype).at[:B, :N, :D].set(src.astype(dtype))
@@ -143,7 +147,7 @@ def nearest_neighbors_pallas(
     ]
     if not return_matched:
         out = pl.pallas_call(
-            _nn_kernel,
+            partial(_nn_kernel, idx_bits=idx_bits),
             out_shape=jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
             grid=grid,
             in_specs=in_specs,
@@ -154,7 +158,7 @@ def nearest_neighbors_pallas(
         return out[:B, :N]
 
     out, matched_t = pl.pallas_call(
-        _nn_matched_kernel,
+        partial(_nn_matched_kernel, idx_bits=idx_bits),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
             jax.ShapeDtypeStruct((Bp, 8, Np), dtype),

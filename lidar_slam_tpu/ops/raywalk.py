@@ -410,10 +410,19 @@ def build_logodds_raywalk(
     Wp = _round_up(cfg.width, TS) + TS
     Hp = _round_up(cfg.height, _LANES) + _LANES
     if version == 2:
-        # field widths: k fields 10 bits, lane-tile 4 bits, row-tile the
-        # remaining top bits (non-negative in int32 => <= 127 tiles)
-        if not (K < 1024 and Wp <= 127 * TS and Hp <= 16 * _LANES):
-            version = 1  # packed-word fields too small; fall back
+        # v2 capacity limits — fall back to v1 (in-kernel boundaries, no
+        # precomputed visit list) when any is exceeded:
+        #   - K <= _NCROSS * TS: visit_descriptors precomputes at most
+        #     _NCROSS tile crossings per axis, which covers a walk span of
+        #     _NCROSS * TS slots; beyond that, crossings would be silently
+        #     MISSING and cells dropped (the guard is what makes that
+        #     impossible, not rare)
+        #   - packed-word field widths: k fields 10 bits (K < 1024 is
+        #     implied by the crossing bound), lane-tile 4 bits, row-tile
+        #     the remaining top bits (non-negative int32 => <= 127 tiles)
+        if not (K <= _NCROSS * TS and Wp <= 127 * TS
+                and Hp <= 16 * _LANES):
+            version = 1
 
     if version == 2:
         kernel = _make_kernel_v2(n_rays, cfg.logodds_ratio, cfg.logodds_clip)

@@ -160,6 +160,9 @@ def _interval_graph(rng, n, G, span_mode="fixed"):
     if span_mode == "fixed":
         li = np.arange(0, n - G - 1, G)
         lj = li + G
+    elif span_mode == "none":
+        li = np.zeros((0,), np.int64)
+        lj = li
     else:
         li = rng.integers(0, n - G, 25)
         lj = li + rng.integers(1, G + 1, 25)
@@ -191,3 +194,39 @@ def test_banded_solver_matches_direct(n, G, span_mode):
     np.testing.assert_allclose(np.asarray(rb.poses), np.asarray(rd.poses),
                                atol=1e-5)
     np.testing.assert_allclose(float(rb.cost), float(rd.cost), rtol=1e-6)
+
+
+def test_banded_solver_tiny_graph():
+    """n <= band => a single super-block and NO off-diagonals; this used
+    to crash _thomas with a zero-length scan mismatch (round-2 review)."""
+    rng = np.random.default_rng(11)
+    init, graph = _interval_graph(rng, 8, 10, "none")
+    rd = pose_graph.optimize(init, graph, max_iters=20, solver="direct")
+    rb = pose_graph.optimize(init, graph, max_iters=20, solver="banded",
+                             band=10)
+    np.testing.assert_allclose(np.asarray(rb.poses), np.asarray(rd.poses),
+                               atol=1e-6)
+
+
+def test_run_slam_fixed_interval_syncs_banded_band():
+    """run_slam(fixed_interval=K) must solve with band=K even though the
+    config default is 10 — a mismatch silently drops loop Hessian blocks
+    spanning more than `band` poses (round-2 review)."""
+    from lidar_slam_tpu.models import slam
+    from lidar_slam_tpu.utils import io as io_utils
+
+    data = io_utils.synthetic_dataset(n_steps=90, n_rays=180, seed=9)
+    kw = dict(counts=data["encoder"]["counts"],
+              gyro=data["imu"]["angular_velocity"],
+              ranges=data["lidar"]["ranges"],
+              range_min=0.1, range_max=30.0, mode="gtsam",
+              build_map=False, chunk_size=16)
+    res20 = slam.run_slam(fixed_interval=20, **kw)
+    # reference for span-20 loops: the any-topology direct solver
+    import dataclasses
+    from lidar_slam_tpu.config import SlamConfig, PoseGraphConfig
+    cfg_direct = dataclasses.replace(
+        SlamConfig(), pose_graph=PoseGraphConfig(solver="direct"))
+    res20_direct = slam.run_slam(fixed_interval=20, cfg=cfg_direct, **kw)
+    np.testing.assert_allclose(res20.poses_optimized,
+                               res20_direct.poses_optimized, atol=1e-4)

@@ -127,3 +127,33 @@ def test_raywalk_v1_matches_v2():
                                           interpret=True, version=2))
     np.testing.assert_array_equal(g1, g2)
     assert (g2 != 0).sum() > 500
+
+
+def test_large_k_falls_back_and_stays_exact():
+    """K beyond the v2 visit-crossing capacity (_NCROSS * TS) must fall
+    back to v1 and still produce the exact map — the round-2 review found
+    K in (~704, 1023] silently dropped cells past the 11th tile crossing
+    (long rays at fine resolution, e.g. main.py --res 0.04)."""
+    from lidar_slam_tpu.config import MapConfig
+    from lidar_slam_tpu.models.occupancy import build_logodds
+    from lidar_slam_tpu.ops.raywalk import _NCROSS, TS
+
+    cfg = MapConfig(resolution=0.025, world_max_x=10, world_min_x=-10,
+                    world_max_y=10, world_min_y=-10)
+    K = 768
+    assert K > _NCROSS * TS  # the regression regime
+    rng = np.random.default_rng(3)
+    n, r = 4, 64
+    ang = rng.uniform(-np.pi, np.pi, (n, r))
+    dist = rng.uniform(1.0, 19.0, (n, r))
+    pts = jnp.asarray(np.stack([dist * np.cos(ang), dist * np.sin(ang)],
+                               axis=-1), jnp.float32)
+    masks = jnp.ones((n, r), bool)
+    poses = jnp.asarray(rng.normal(0, 0.5, (n, 3)), jnp.float32)
+
+    got = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, K,
+                                           interpret=True, version=2))
+    want = np.asarray(build_logodds(poses, pts, masks, cfg, K,
+                                    backend="scatter"))
+    np.testing.assert_array_equal(got, want)
+    assert (got != 0).sum() > 1000
