@@ -80,8 +80,11 @@ def frames_to_cells(
     """Fused unproject chain for a batch of frames.
 
     Returns flat (B*H*W,) cell linear indices (or -1 when invalid), colors
-    (B*H*W, 3) uint8, in point order (frame-major) so index order equals the
-    reference's write order.
+    (B*H*W,) int32 with the three uint8 channels packed r | g<<8 | b<<16,
+    in point order (frame-major) so index order equals the reference's
+    write order. Colors stay packed (and on device) until the final
+    compose: uint8 gathers lower pathologically on TPU (measured 85 s vs
+    2.6 s for one int32 gather at 8 x 480 x 640).
     """
     K, T_rc, R_oc = camera_matrices(cam_cfg)
     Kinv = jnp.asarray(np.linalg.inv(K), disparity.dtype)
@@ -108,9 +111,11 @@ def frames_to_cells(
     valid = (rgbi >= 0) & (rgbi < H) & (rgbj >= 0) & (rgbj < W)
     ri = jnp.clip(rgbi.astype(jnp.int32), 0, H - 1)
     rj = jnp.clip(rgbj.astype(jnp.int32), 0, W - 1)
+    rgb_flat = rgb.reshape(B, H * W, 3).astype(jnp.int32)
+    packed = (rgb_flat[..., 0] | (rgb_flat[..., 1] << 8)
+              | (rgb_flat[..., 2] << 16))  # (B, H*W) int32
     colors = jnp.take_along_axis(
-        rgb.reshape(B, H * W, 3),
-        (ri * W + rj).reshape(B, H * W)[..., None], axis=1)  # (B, H*W, 3)
+        packed, (ri * W + rj).reshape(B, H * W), axis=1)
 
     # optical -> camera -> robot
     xyz_c = p_einsum("de,bhwe->bhwd", R_co, xyz_o)
@@ -128,7 +133,7 @@ def frames_to_cells(
     in_map = (gi >= 0) & (gi < map_cfg.width) & (gj >= 0) & (gj < map_cfg.height)
     ok = valid & in_map
     lin = jnp.where(ok, gi * map_cfg.height + gj, -1)
-    return lin.reshape(-1), colors.reshape(-1, 3), ok.reshape(-1)
+    return lin.reshape(-1), colors.reshape(-1), ok.reshape(-1)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -178,19 +183,35 @@ def generate_texture_map(
             jnp.asarray(poses[rgb_pose_indices[ids]], dtype),
             map_cfg, cam_cfg)
         winner = paint_cells(winner, lin, jnp.int32(base))
-        all_colors.append(np.asarray(colors))
+        # packed int32 colors accumulate ON DEVICE; only the final
+        # composed texture crosses back to the host (per-batch color
+        # downloads dominated the stage wall on the tunneled device)
+        all_colors.append(colors)
         base += int(lin.shape[0])
 
-    winner_np = np.asarray(winner)
-    colors_np = np.concatenate(all_colors, axis=0) if all_colors else \
-        np.zeros((0, 3), np.uint8)
+    colors_all = (jnp.concatenate(all_colors) if all_colors
+                  else jnp.zeros((0,), jnp.int32))
+    # int32 on device: uint8 arrays hit pathological TPU lowerings
+    grid_dev = jnp.asarray(np.asarray(grid_map).astype(np.int32))
+    return np.asarray(_compose_texture(winner, colors_all, grid_dev))
 
-    # base texture: 0/1 occupancy replicated to 3 channels
-    # (reference: texture_mapping.py:46-48)
-    tex = np.repeat(np.asarray(grid_map, np.uint8)[..., None], 3, axis=2)
-    tex = tex.reshape(-1, 3).astype(np.float32)
-    has = winner_np >= 0
-    tex[has] = colors_np[winner_np[has]].astype(np.float32)
+
+@jax.jit
+def _compose_texture(winner: jnp.ndarray, colors_packed: jnp.ndarray,
+                     grid_map: jnp.ndarray) -> jnp.ndarray:
+    """Final texture compose on device: base = 0/1 occupancy replicated to
+    3 channels (reference: texture_mapping.py:46-48), painted cells take
+    their winning point's color, everything / 255."""
+    W, Hn = grid_map.shape
+    has = winner >= 0
+    got = jnp.take(
+        jnp.concatenate([colors_packed, jnp.zeros((1,), jnp.int32)]),
+        jnp.where(has, winner, colors_packed.shape[0]))
+    rgbf = jnp.stack([got & 0xFF, (got >> 8) & 0xFF, (got >> 16) & 0xFF],
+                     axis=-1).astype(jnp.float32)
+    base = jnp.repeat(grid_map.reshape(-1).astype(jnp.float32)[:, None],
+                      3, axis=1)
+    tex = jnp.where(has[:, None], rgbf, base)
     return (tex / 255.0).reshape(W, Hn, 3)
 
 

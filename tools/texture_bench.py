@@ -1,0 +1,92 @@
+"""Texture-stage benchmark: per-frame cost of the RGB-D pipeline.
+
+Times two components at dataset-20 frame geometry (480 x 640):
+  compute   the fused unproject+paint path (synthetic in-memory frames)
+  decode    the native C++ batch PNG loader on a fabricated on-disk tree
+
+Reference counterpart: modules/texture_mapping.py:49-96 (per-frame host
+loop: 2x cv2.imread + numpy chain). Dataset 20 has ~2,407 RGB frames.
+
+Usage: python tools/texture_bench.py [--frames 64] [--decode-frames 32]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--decode-frames", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import numpy as np
+
+    from lidar_slam_tpu.config import SlamConfig
+    from lidar_slam_tpu.models import texture
+
+    cfg = SlamConfig()
+    H, W = 480, 640
+    rng = np.random.default_rng(0)
+
+    def synth_frames(seed, n):
+        r = np.random.default_rng(seed)
+        disp = r.uniform(300, 900, (n, H, W)).astype(np.float32)
+        rgb = r.integers(0, 255, (n, H, W, 3), dtype=np.uint8)
+        return disp, rgb
+
+    # --- compute path (loader injected, frames pre-generated) ---
+    F = args.frames
+    poses = rng.normal(0, 0.5, (F, 3)).astype(np.float32)
+    grid_map = np.zeros((cfg.map.width, cfg.map.height), np.uint8)
+    for seed, label in ((1, "warm-up"), (2, "timed")):
+        disp, rgb = synth_frames(seed, F)
+        loader = lambda ids: (disp[ids], rgb[ids])
+        t0 = time.time()
+        tex = texture.generate_texture_map(
+            poses, np.arange(F), np.arange(F), grid_map, loader,
+            cfg.map, cfg.camera, batch_size=8)
+        dt = time.time() - t0
+        print(f"compute {label}: {F} frames in {dt:.2f}s "
+              f"({dt / F * 1e3:.1f} ms/frame)", file=sys.stderr)
+    per_frame = dt / F
+    print(f"extrapolated dataset-20 compute (2,407 frames): "
+          f"{per_frame * 2407:.1f}s", file=sys.stderr)
+
+    # --- native decode path (fabricated on-disk tree) ---
+    from lidar_slam_tpu.utils import native
+    from lidar_slam_tpu.utils.png import write_png
+    D = args.decode_frames
+    with tempfile.TemporaryDirectory() as root:
+        disp, rgb = synth_frames(3, D)
+        dpaths, rpaths = [], []
+        for i in range(D):
+            dp = os.path.join(root, f"d{i}.png")
+            rp = os.path.join(root, f"r{i}.png")
+            write_png(dp, disp[i].astype(np.uint16))
+            write_png(rp, rgb[i])
+            dpaths.append(dp)
+            rpaths.append(rp)
+        if native.available():
+            t0 = time.time()
+            native.read_png_batch(dpaths, (H, W), np.uint16)
+            native.read_png_batch(rpaths, (H, W, 3), np.uint8)
+            dt = time.time() - t0
+            print(f"native decode: {D} frame pairs in {dt:.2f}s "
+                  f"({dt / D * 1e3:.1f} ms/frame) -> dataset-20 "
+                  f"~{dt / D * 2407:.0f}s", file=sys.stderr)
+        else:
+            print("native decoder unavailable; skipping decode bench",
+                  file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
