@@ -132,3 +132,35 @@ def visualize_icp_result(source_pc, target_pc, aligned_pc, out_path,
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     plt.savefig(out_path)
     plt.close()
+
+
+def export_ply(path: str, clouds, colors=None) -> None:
+    """Write one or more point clouds into a single ASCII PLY file.
+
+    The interactive-inspection analog of the reference's Open3D
+    visualization alternative (reference: code/icp_warm_up/utils.py:33-50,
+    which opens an o3d window) — a PLY opens in any 3-D viewer
+    (MeshLab, CloudCompare, Open3D, Blender). `clouds` is one (N, 3)
+    array or a list of them; each cloud gets a distinct default color
+    unless `colors` (list of (r, g, b) uint8 triples) is given.
+    """
+    import os as _os
+
+    if isinstance(clouds, np.ndarray):
+        clouds = [clouds]
+    palette = [(31, 119, 180), (214, 39, 40), (44, 160, 44),
+               (255, 127, 14), (148, 103, 189)]
+    if colors is None:
+        colors = [palette[i % len(palette)] for i in range(len(clouds))]
+    total = sum(int(c.shape[0]) for c in clouds)
+    _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {total}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\nend_header\n")
+        for cloud, (r, g, b) in zip(clouds, colors):
+            pts = np.asarray(cloud, np.float64)
+            for x, y, z in pts:
+                f.write(f"{x:.6f} {y:.6f} {z:.6f} {r} {g} {b}\n")

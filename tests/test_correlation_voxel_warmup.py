@@ -167,3 +167,22 @@ def test_warmup_large_cloud_memory_guard(monkeypatch):
     T, err, errs = w.best_icp_alignment(src, tgt, n_seeds=4, seed_batch=4,
                                         downsample_above=10**9)
     assert np.isfinite(err)
+
+
+def test_export_ply_roundtrip(tmp_path):
+    """PLY export (the Open3D-visualization analog, reference
+    code/icp_warm_up/utils.py:33-50) writes a parseable file whose
+    vertices round-trip the input clouds."""
+    from lidar_slam_tpu.models.warmup import export_ply
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(7, 3))
+    b = rng.normal(size=(4, 3))
+    p = tmp_path / "out.ply"
+    export_ply(str(p), [a, b])
+    lines = p.read_text().splitlines()
+    n_hdr = lines.index("end_header") + 1
+    assert "element vertex 11" in "\n".join(lines[:n_hdr])
+    pts = np.array([[float(v) for v in ln.split()[:3]]
+                    for ln in lines[n_hdr:]])
+    np.testing.assert_allclose(pts, np.concatenate([a, b]), atol=1e-5)

@@ -15,6 +15,9 @@ if __name__ == "__main__":
                         help="Number of point clouds (1-4)")
     parser.add_argument("--data_dir", type=str, default="./data")
     parser.add_argument("--n_seeds", type=int, default=24)
+    parser.add_argument("--export_ply", action="store_true",
+                        help="also write images/<obj>_<i>.ply (aligned + "
+                             "target clouds) for interactive 3-D viewers")
     args = parser.parse_args()
 
     source_pc = warmup.read_canonical_model(args.obj_name, args.data_dir)
@@ -28,6 +31,9 @@ if __name__ == "__main__":
         aligned = source_pc @ best_T[:3, :3].T + best_T[:3, 3]
         warmup.visualize_icp_result(source_pc, target_pc, aligned,
                                     f"images/{args.obj_name}_{i}.png")
+        if args.export_ply:
+            warmup.export_ply(f"images/{args.obj_name}_{i}.ply",
+                              [aligned, target_pc])
 
     print("Best errors:")
     for i in range(args.num_pc):
