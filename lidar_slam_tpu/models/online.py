@@ -1,0 +1,179 @@
+"""Online (streaming) SLAM: one jitted device step per incoming scan.
+
+The reference is a batch pipeline (load the whole log, then process,
+reference main.py:67-192); this module adds the serving-mode counterpart
+the reference has no analog for: a robot feeding one synchronized
+(encoder, gyro, scan) tuple at a time and reading back the current pose
+and the causal occupancy map after every step.
+
+TPU-native design:
+  - ALL state (pose, odometry pose, log-odds grid, previous scan) lives in
+    one NamedTuple of device arrays with fixed shapes, DONATED through the
+    jitted step — zero host round-trips and zero reallocation per step;
+  - the per-step math is byte-for-byte the offline pipeline's: the ICP
+    seed is the relative pose of consecutive ODOMETRY poses (reference
+    modules/localization.py:116-118), the refined pose composes onto the
+    refined chain (:127), and the map update applies the reference's
+    per-ray log-odds rule with the per-scan clip (modules/ogm.py:149-188).
+    Fed the same log step-by-step, the pose track equals
+    scan_matching.poses_from_scan_matching to float tolerance
+    (tests/test_online.py);
+  - the map is CAUSAL (built from the pose estimate available at each
+    step), which is what an online system can know — unlike the offline
+    mode, which rasterizes with the final refined trajectory.
+
+Optional trajectory refinement: `refine()` runs the same gated
+fixed-interval loop closures + banded pose-graph solve as the offline
+gtsam mode over the history accumulated so far (ring buffers carried in
+the state), returning a smoothed copy of the trajectory without touching
+the causal map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops import icp as icp_ops
+from ..utils import se2
+from . import occupancy, odometry
+
+
+class OnlineState(NamedTuple):
+    pose: jnp.ndarray        # (3,) current refined pose
+    odom_pose: jnp.ndarray   # (3,) dead-reckoning pose (seed source)
+    logodds: jnp.ndarray     # (W, H) causal log-odds map
+    prev_points: jnp.ndarray  # (P, 3) previous scan (z = 0)
+    prev_mask: jnp.ndarray   # (P,)
+    step: jnp.ndarray        # () int32 — 0 before the first scan
+    # history ring buffers for refine() (fixed capacity, index = step)
+    poses_hist: jnp.ndarray  # (N_max, 3) refined poses
+    rel_hist: jnp.ndarray    # (N_max, 3, 3) refined relative SE(2)
+
+
+def init_state(first_points: jnp.ndarray, first_mask: jnp.ndarray,
+               cfg: SlamConfig = SlamConfig(), n_max: int = 8192,
+               x0: jnp.ndarray | None = None, K: int = 608) -> OnlineState:
+    """State after observing the FIRST scan at the origin pose.
+
+    The first scan is rasterized into the map at pose 0 (the offline
+    build_map loops over ALL scans including index 0, reference
+    ogm.py:56)."""
+    pts3 = icp_ops.lift_to_3d(jnp.asarray(first_points)).astype(jnp.float32)
+    mask = jnp.asarray(first_mask)
+    pose0 = (jnp.zeros(3, jnp.float32) if x0 is None
+             else jnp.asarray(x0, jnp.float32))
+    W, H = cfg.map.width, cfg.map.height
+    xs, ys, values = occupancy.scan_logodds_delta(
+        pose0, pts3[..., :2], mask, cfg.map, K)
+    logodds = jnp.zeros((W, H), jnp.float32).at[xs, ys].add(
+        values, mode="drop")
+    logodds = jnp.clip(logodds, -cfg.map.logodds_clip, cfg.map.logodds_clip)
+    poses_hist = jnp.zeros((n_max, 3), jnp.float32).at[0].set(pose0)
+    return OnlineState(
+        pose=pose0,
+        # distinct buffer: donated states must not alias leaves
+        odom_pose=pose0 + 0.0,
+        logodds=logodds,
+        prev_points=pts3,
+        prev_mask=mask,
+        step=jnp.asarray(0, jnp.int32),
+        poses_hist=poses_hist,
+        rel_hist=jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_max, 1, 1)),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "K", "update_map"),
+         donate_argnums=(0,))
+def online_step(
+    state: OnlineState,
+    counts: jnp.ndarray,   # (4,) encoder ticks for this interval
+    gyro: jnp.ndarray,     # (3,) angular velocity
+    points: jnp.ndarray,   # (P, 2) or (P, 3) scan in the robot frame
+    mask: jnp.ndarray,     # (P,)
+    cfg: SlamConfig = SlamConfig(),
+    K: int = 608,
+    update_map: bool = True,
+) -> OnlineState:
+    """Advance the online SLAM state by one synchronized sensor tuple.
+
+    Same math as the offline stages (module docstring); one fused device
+    program per step, state donated (updated in place).
+    """
+    dt = cfg.robot.dt
+    pts3 = icp_ops.lift_to_3d(jnp.asarray(points)).astype(jnp.float32)
+    mask = jnp.asarray(mask)
+
+    # 1. dead-reckoning advance (reference modules/localization.py:60-93)
+    v = odometry.v_from_encoder(counts)
+    odom_new = odometry.diff_drive_motion_model(state.odom_pose, v, gyro, dt)
+    # ICP seed: relative pose of consecutive ODOMETRY poses — the
+    # reference seeds every pair from odometry, not the refined chain
+    # (modules/localization.py:116-118), which is what makes the offline
+    # batch exact; online replicates it so the tracks agree
+    seed2 = se2.get_relative_pose(state.odom_pose, odom_new)
+    seed3 = se2.TSE3_from_TSE2(seed2)
+
+    # 2. scan matching against the previous scan
+    res = icp_ops.run_icp_batch(
+        pts3[None], state.prev_points[None], mask[None],
+        state.prev_mask[None], seed3[None],
+        epsilon=cfg.icp.epsilon, max_iters=cfg.icp.max_iters,
+        stopping_thresh=cfg.icp.stopping_thresh,
+        normalize_error=cfg.icp.normalize_error, planar=True)
+    rel2 = se2.TSE2_from_TSE3(res.T[0])  # (3, 3)
+    T_new = se2.p_matmul(se2.T_from_pose(state.pose), rel2)
+    pose_new = se2.pose_from_T(T_new)
+
+    # 3. causal map update (reference modules/ogm.py:149-188)
+    if update_map:
+        xs, ys, values = occupancy.scan_logodds_delta(
+            pose_new, pts3[..., :2], mask, cfg.map, K)
+        logodds = state.logodds.at[xs, ys].add(values, mode="drop")
+        logodds = jnp.clip(logodds, -cfg.map.logodds_clip,
+                           cfg.map.logodds_clip)
+    else:
+        logodds = state.logodds
+
+    step_new = state.step + 1
+    n_max = state.poses_hist.shape[0]
+    idx = jnp.minimum(step_new, n_max - 1)
+    return OnlineState(
+        pose=pose_new.astype(jnp.float32),
+        odom_pose=odom_new.astype(jnp.float32),
+        logodds=logodds,
+        prev_points=pts3,
+        prev_mask=mask,
+        step=step_new,
+        poses_hist=state.poses_hist.at[idx].set(pose_new),
+        rel_hist=state.rel_hist.at[idx - 1].set(rel2),
+    )
+
+
+def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
+           chunk_size: int = 64) -> np.ndarray:
+    """Smooth the trajectory accumulated so far: gated fixed-interval loop
+    closures + the banded pose-graph solve, exactly the offline gtsam
+    stage (reference main.py:148-192) over the online history.
+
+    Needs the scans for loop-closure ICPs, which the fixed-size state does
+    not retain — callers keep their own scan history and pass it here; the
+    simpler no-scan variant optimizes with the between factors only.
+    Returns the refined (n, 3) trajectory; the causal map is untouched.
+    """
+    from . import pose_graph
+
+    n = int(state.step) + 1
+    poses = state.poses_hist[:n]
+    rel = state.rel_hist[:n - 1]
+    res = pose_graph.optimize_trajectory(
+        poses, rel,
+        jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0, 3, 3), jnp.float32), jnp.zeros((0,), bool),
+        cfg.pose_graph)
+    return np.asarray(res.poses)

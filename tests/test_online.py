@@ -1,0 +1,76 @@
+"""Online (streaming) SLAM parity with the offline batch pipeline.
+
+The online step replicates the offline stages' math exactly (the ICP seed
+comes from consecutive odometry poses and the refined pose composes onto
+the refined chain — models/online.py docstring), so feeding the same log
+step-by-step must reproduce poses_from_scan_matching, and the causal map
+must equal build_logodds over the same (causal) trajectory.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_slam_tpu.config import SlamConfig
+from lidar_slam_tpu.models import occupancy, odometry, online, scan_matching
+from lidar_slam_tpu.ops import scan as scan_ops
+from lidar_slam_tpu.utils import io
+
+CFG = SlamConfig()
+N, R, K = 30, 120, 200
+
+
+def _log(seed):
+    data = io.synthetic_dataset(n_steps=N, n_rays=R, seed=seed)
+    counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
+    gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)
+    ranges = jnp.asarray(data["lidar"]["ranges"], jnp.float32)
+    points, masks = scan_ops.scans_to_points(ranges, 0.1, 30.0, CFG.lidar)
+    return counts, gyro, points, masks
+
+
+def _run_online(counts, gyro, points, masks):
+    st = online.init_state(points[0], masks[0], CFG, n_max=64, K=K)
+    for t in range(1, N):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], CFG, K=K)
+    return st
+
+
+def test_online_pose_track_matches_offline_scan_matching():
+    counts, gyro, points, masks = _log(0)
+    st = _run_online(counts, gyro, points, masks)
+
+    poses_odom = odometry.poses_from_odometry(counts, gyro)
+    sm = scan_matching.poses_from_scan_matching(poses_odom, points, masks,
+                                                CFG.icp, chunk_size=8)
+    track = np.asarray(st.poses_hist[:N])
+    np.testing.assert_allclose(track, np.asarray(sm.poses), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st.pose),
+                               np.asarray(sm.poses[-1]), atol=2e-4)
+    # relative-pose history matches too
+    np.testing.assert_allclose(np.asarray(st.rel_hist[:N - 1]),
+                               np.asarray(sm.relative_poses), atol=2e-4)
+
+
+def test_online_causal_map_matches_batch_over_same_track():
+    counts, gyro, points, masks = _log(1)
+    st = _run_online(counts, gyro, points, masks)
+    # the causal trajectory is frozen as each pose is estimated, so the
+    # batch rasterizer over that same trajectory must agree
+    track = st.poses_hist[:N]
+    want = occupancy.build_logodds(track, points[..., :2], masks, CFG.map,
+                                   K, backend="scatter")
+    np.testing.assert_allclose(np.asarray(st.logodds), np.asarray(want),
+                               atol=1e-4)
+    assert (np.asarray(st.logodds) != 0).sum() > 200
+
+
+def test_online_refine_smooths_trajectory():
+    counts, gyro, points, masks = _log(2)
+    st = _run_online(counts, gyro, points, masks)
+    refined = online.refine(st, CFG)
+    assert refined.shape == (N, 3)
+    assert np.isfinite(refined).all()
+    # between-factors-only refinement stays near the measured chain
+    track = np.asarray(st.poses_hist[:N])
+    assert np.abs(refined - track).max() < 0.5
