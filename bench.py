@@ -38,6 +38,7 @@ def log(msg):
 
 def main():
     import jax
+    import numpy as np
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
@@ -132,6 +133,31 @@ def main():
             raise AssertionError("Pallas NN matched-points output disagrees")
         log(f"pallas NN kernel vs jnp path: {frac*100:.3f}% near-tie index "
             f"flips, max d2 gap {max_gap:.2e} — OK")
+
+        # compiled-Pallas regression gate #2: the ray-walk map kernel must
+        # reproduce the scatter path bit-for-bit on a real slice (the maps
+        # are the pipeline's output artifact; a Mosaic regression here
+        # would silently corrupt them)
+        from lidar_slam_tpu.ops.raywalk import build_logodds_raywalk
+        _, _, wpts, wmasks, _ = warm
+        rng32 = np.random.default_rng(7)
+        poses32 = jnp.asarray(
+            rng32.normal(0, 2.0, (32, 3)).cumsum(0) * 0.01, jnp.float32)
+        g_walk = np.asarray(build_logodds_raywalk(
+            poses32, wpts[:32], wmasks[:32], cfg.map, K))
+        g_scat = np.asarray(occupancy.build_logodds(
+            poses32, wpts[:32], wmasks[:32], cfg.map, K,
+            backend="scatter"))
+        walk_diff = float(np.abs(g_walk - g_scat).max())
+        # ray-order vs scatter-order accumulation may differ by ULPs in
+        # principle (measured 0.0 at dataset scale); a real regression
+        # shows up at the log4 scale (~1.386)
+        if walk_diff > 1e-4:
+            raise AssertionError(
+                f"raywalk kernel regressed: max |logodds diff| vs the "
+                f"scatter path = {walk_diff:g}")
+        log(f"raywalk kernel vs scatter path: max |diff| {walk_diff:g} "
+            "on 32 scans — OK")
 
         # optional-path timing: DBSCAN + statistical filters at full scale
         # (the reference baseline excludes them too; PERF.md has the row)
