@@ -10,23 +10,25 @@ TPU-native design:
   - ALL state (pose, odometry pose, log-odds grid, previous scan) lives in
     one NamedTuple of device arrays with fixed shapes, DONATED through the
     jitted step — zero host round-trips and zero reallocation per step;
-  - the per-step math is byte-for-byte the offline pipeline's: the ICP
-    seed is the relative pose of consecutive ODOMETRY poses (reference
+  - the per-step update rule is the offline pipeline's: the ICP seed is
+    the relative pose of consecutive ODOMETRY poses (reference
     modules/localization.py:116-118), the refined pose composes onto the
     refined chain (:127), and the map update applies the reference's
     per-ray log-odds rule with the per-scan clip (modules/ogm.py:149-188).
     Fed the same log step-by-step, the pose track equals
-    scan_matching.poses_from_scan_matching to float tolerance
-    (tests/test_online.py);
+    scan_matching.poses_from_scan_matching to FLOAT TOLERANCE (~1e-4;
+    offline composes via associative_scan, online sequentially, so the
+    float reduction order differs — tests/test_online.py);
   - the map is CAUSAL (built from the pose estimate available at each
     step), which is what an online system can know — unlike the offline
     mode, which rasterizes with the final refined trajectory.
 
-Optional trajectory refinement: `refine()` runs the same gated
-fixed-interval loop closures + banded pose-graph solve as the offline
-gtsam mode over the history accumulated so far (ring buffers carried in
-the state), returning a smoothed copy of the trajectory without touching
-the causal map.
+Optional trajectory refinement: `refine()` runs the offline gtsam
+stage's pose-graph solve over the history accumulated so far (fixed-size
+buffers carried in the state; the first n_max steps are retained),
+optionally with gated fixed-interval loop closures when the caller
+provides the scan history, returning a smoothed copy of the trajectory
+without touching the causal map.
 """
 
 from __future__ import annotations
@@ -69,11 +71,8 @@ def init_state(first_points: jnp.ndarray, first_mask: jnp.ndarray,
     pose0 = (jnp.zeros(3, jnp.float32) if x0 is None
              else jnp.asarray(x0, jnp.float32))
     W, H = cfg.map.width, cfg.map.height
-    xs, ys, values = occupancy.scan_logodds_delta(
-        pose0, pts3[..., :2], mask, cfg.map, K)
-    logodds = jnp.zeros((W, H), jnp.float32).at[xs, ys].add(
-        values, mode="drop")
-    logodds = jnp.clip(logodds, -cfg.map.logodds_clip, cfg.map.logodds_clip)
+    logodds = occupancy.update_map(jnp.zeros((W, H), jnp.float32), pose0,
+                                   pts3[..., :2], mask, cfg.map, K)
     poses_hist = jnp.zeros((n_max, 3), jnp.float32).at[0].set(pose0)
     return OnlineState(
         pose=pose0,
@@ -130,19 +129,22 @@ def online_step(
     T_new = se2.p_matmul(se2.T_from_pose(state.pose), rel2)
     pose_new = se2.pose_from_T(T_new)
 
-    # 3. causal map update (reference modules/ogm.py:149-188)
+    # 3. causal map update (reference modules/ogm.py:149-188) — the
+    # compact single-scan scatter (occupancy.update_map) that the offline
+    # CPU path uses; ~2x cheaper than the dense R*K scatter
     if update_map:
-        xs, ys, values = occupancy.scan_logodds_delta(
-            pose_new, pts3[..., :2], mask, cfg.map, K)
-        logodds = state.logodds.at[xs, ys].add(values, mode="drop")
-        logodds = jnp.clip(logodds, -cfg.map.logodds_clip,
-                           cfg.map.logodds_clip)
+        logodds = occupancy.update_map(state.logodds, pose_new,
+                                       pts3[..., :2], mask, cfg.map, K)
     else:
         logodds = state.logodds
 
     step_new = state.step + 1
     n_max = state.poses_hist.shape[0]
+    # history buffers retain the FIRST n_max steps; past capacity the
+    # write is suppressed (NOT silently overwriting the last slot) so the
+    # stored prefix stays a consistent trajectory for refine()
     idx = jnp.minimum(step_new, n_max - 1)
+    in_cap = step_new < n_max
     return OnlineState(
         pose=pose_new.astype(jnp.float32),
         odom_pose=odom_new.astype(jnp.float32),
@@ -150,30 +152,58 @@ def online_step(
         prev_points=pts3,
         prev_mask=mask,
         step=step_new,
-        poses_hist=state.poses_hist.at[idx].set(pose_new),
-        rel_hist=state.rel_hist.at[idx - 1].set(rel2),
+        poses_hist=state.poses_hist.at[idx].set(
+            jnp.where(in_cap, pose_new, state.poses_hist[n_max - 1])),
+        rel_hist=state.rel_hist.at[idx - 1].set(
+            jnp.where(in_cap, rel2, state.rel_hist[n_max - 2])),
     )
 
 
 def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
-           chunk_size: int = 64) -> np.ndarray:
-    """Smooth the trajectory accumulated so far: gated fixed-interval loop
-    closures + the banded pose-graph solve, exactly the offline gtsam
-    stage (reference main.py:148-192) over the online history.
+           scans: jnp.ndarray | None = None,
+           scan_masks: jnp.ndarray | None = None,
+           max_distance: float = np.inf,
+           max_yaw_deg: float = np.inf) -> np.ndarray:
+    """Smooth the trajectory accumulated so far with the pose-graph solve
+    of the offline gtsam stage (reference main.py:148-192).
 
-    Needs the scans for loop-closure ICPs, which the fixed-size state does
-    not retain — callers keep their own scan history and pass it here; the
-    simpler no-scan variant optimizes with the between factors only.
-    Returns the refined (n, 3) trajectory; the causal map is untouched.
+    With `scans` (n, P, 2 or 3) + `scan_masks` (n, P) — the caller's own
+    scan history, which the fixed-size state does not retain — gated
+    fixed-interval loop-closure ICPs are added exactly like the offline
+    stage (gates default to accept-all; pass the odometry maxima for
+    reference gating). Without scans, between factors only. Returns the
+    refined (min(step+1, n_max), 3) trajectory (history keeps the first
+    n_max steps); the causal map is untouched.
     """
+    from ..ops import icp as _icp
     from . import pose_graph
+    from .slam import compute_loop_closures, loop_closure_candidates
 
-    n = int(state.step) + 1
+    n_max = state.poses_hist.shape[0]
+    n = min(int(state.step) + 1, n_max)
     poses = state.poses_hist[:n]
     rel = state.rel_hist[:n - 1]
-    res = pose_graph.optimize_trajectory(
-        poses, rel,
-        jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
-        jnp.zeros((0, 3, 3), jnp.float32), jnp.zeros((0,), bool),
-        cfg.pose_graph)
+    interval = cfg.pose_graph.fixed_interval
+    if scans is not None and n > interval + 1:
+        pts3 = _icp.lift_to_3d(jnp.asarray(scans[:n]))
+        masks = jnp.asarray(scan_masks[:n])
+        cand = loop_closure_candidates(n, interval)
+        loop_T, accept, _, _ = compute_loop_closures(
+            pts3, masks, cand, interval, float(max_distance),
+            float(max_yaw_deg))
+        li = jnp.asarray(cand)
+        lj = jnp.asarray(cand + interval)
+        lm = loop_T
+    else:
+        li = jnp.zeros((0,), jnp.int32)
+        lj = jnp.zeros((0,), jnp.int32)
+        lm = jnp.zeros((0, 3, 3), jnp.float32)
+        accept = jnp.zeros((0,), bool)
+    # anchor the prior at the trajectory START (reference main.py:149-150
+    # places the prior at vertex 0's initial estimate), not the origin —
+    # an x0 != 0 start must not be snapped back to zero
+    graph = pose_graph.make_graph(
+        rel, cfg.pose_graph, prior_pose=poses[0], loop_i=li, loop_j=lj,
+        loop_meas=lm, loop_mask=accept)
+    res = pose_graph.optimize_with_config(poses, graph, cfg.pose_graph)
     return np.asarray(res.poses)

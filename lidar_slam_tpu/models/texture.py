@@ -13,8 +13,10 @@ decoding two PNGs and chaining five frame transforms per iteration; here
   - painting is a global scatter-max of point sequence numbers: the
     reference's per-frame in-place fancy assignment keeps the LAST write per
     cell (later frames and later points win, texture_mapping.py:96); a
-    scatter-max of global point indices followed by one gather reproduces
-    that winner exactly with no sequential loop.
+    scatter-max of global point indices reproduces that winner exactly with
+    no sequential loop, and each batch immediately folds its winning
+    points' colors into a per-CELL color array — state stays O(cells)
+    (~12 MB) instead of O(all points) (~3 GB at dataset-20 scale).
 
 Replicated reference quirks:
   - get_rgbi_rgbj is called with DEPTH, not the disparity-derived dd
@@ -136,17 +138,27 @@ def frames_to_cells(
     return lin.reshape(-1), colors.reshape(-1), ok.reshape(-1)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def paint_cells(winner: jnp.ndarray, lin: jnp.ndarray,
-                base_index) -> jnp.ndarray:
-    """Scatter-max global point sequence numbers into the cell-winner map.
+@partial(jax.jit, donate_argnums=(0, 1))
+def paint_cells(winner: jnp.ndarray, cell_color: jnp.ndarray,
+                lin: jnp.ndarray, colors: jnp.ndarray,
+                base_index) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-max global point sequence numbers into the cell-winner map
+    and fold this batch's winning colors into the per-cell color array.
 
     Invalid points carry value -1, which never beats a real winner (int32
-    sequence numbers cover ~7000 frames of 480x640 points)."""
+    sequence numbers cover ~7000 frames of 480x640 points). A cell whose
+    winner strictly increased was won by THIS batch (all its sequence
+    numbers exceed every earlier batch's), so its color comes from this
+    batch's packed colors; others keep their current color — exactly the
+    reference's last-writer-wins (texture_mapping.py:96)."""
     seq = base_index + jnp.arange(lin.shape[0], dtype=jnp.int32)
     upd = jnp.where(lin >= 0, seq, -1)
     safe = jnp.where(lin >= 0, lin, 0)
-    return winner.at[safe].max(upd)
+    winner_new = winner.at[safe].max(upd)
+    won_here = winner_new > winner
+    local = jnp.clip(winner_new - base_index, 0, colors.shape[0] - 1)
+    cell_color = jnp.where(won_here, jnp.take(colors, local), cell_color)
+    return winner_new, cell_color
 
 
 def generate_texture_map(
@@ -172,7 +184,7 @@ def generate_texture_map(
     """
     W, Hn = map_cfg.width, map_cfg.height
     winner = jnp.full((W * Hn,), -1, dtype=jnp.int32)
-    all_colors = []
+    cell_color = jnp.zeros((W * Hn,), jnp.int32)
     base = 0
     F = len(rgb_pose_indices)
     for s in range(0, F, batch_size):
@@ -182,32 +194,29 @@ def generate_texture_map(
             jnp.asarray(disp, dtype), jnp.asarray(rgb),
             jnp.asarray(poses[rgb_pose_indices[ids]], dtype),
             map_cfg, cam_cfg)
-        winner = paint_cells(winner, lin, jnp.int32(base))
-        # packed int32 colors accumulate ON DEVICE; only the final
-        # composed texture crosses back to the host (per-batch color
-        # downloads dominated the stage wall on the tunneled device)
-        all_colors.append(colors)
+        # per-batch colors fold into the per-CELL array ON DEVICE; only
+        # the final composed texture crosses back to the host (per-batch
+        # color downloads dominated the stage wall on the tunneled device,
+        # and keeping every point color would cost ~3 GB at full scale)
+        winner, cell_color = paint_cells(winner, cell_color, lin, colors,
+                                         jnp.int32(base))
         base += int(lin.shape[0])
 
-    colors_all = (jnp.concatenate(all_colors) if all_colors
-                  else jnp.zeros((0,), jnp.int32))
     # int32 on device: uint8 arrays hit pathological TPU lowerings
     grid_dev = jnp.asarray(np.asarray(grid_map).astype(np.int32))
-    return np.asarray(_compose_texture(winner, colors_all, grid_dev))
+    return np.asarray(_compose_texture(winner, cell_color, grid_dev))
 
 
 @jax.jit
-def _compose_texture(winner: jnp.ndarray, colors_packed: jnp.ndarray,
+def _compose_texture(winner: jnp.ndarray, cell_color: jnp.ndarray,
                      grid_map: jnp.ndarray) -> jnp.ndarray:
     """Final texture compose on device: base = 0/1 occupancy replicated to
     3 channels (reference: texture_mapping.py:46-48), painted cells take
-    their winning point's color, everything / 255."""
+    their winning color, everything / 255."""
     W, Hn = grid_map.shape
     has = winner >= 0
-    got = jnp.take(
-        jnp.concatenate([colors_packed, jnp.zeros((1,), jnp.int32)]),
-        jnp.where(has, winner, colors_packed.shape[0]))
-    rgbf = jnp.stack([got & 0xFF, (got >> 8) & 0xFF, (got >> 16) & 0xFF],
+    rgbf = jnp.stack([cell_color & 0xFF, (cell_color >> 8) & 0xFF,
+                      (cell_color >> 16) & 0xFF],
                      axis=-1).astype(jnp.float32)
     base = jnp.repeat(grid_map.reshape(-1).astype(jnp.float32)[:, None],
                       3, axis=1)

@@ -144,23 +144,27 @@ def export_ply(path: str, clouds, colors=None) -> None:
     array or a list of them; each cloud gets a distinct default color
     unless `colors` (list of (r, g, b) uint8 triples) is given.
     """
-    import os as _os
-
     if isinstance(clouds, np.ndarray):
         clouds = [clouds]
     palette = [(31, 119, 180), (214, 39, 40), (44, 160, 44),
                (255, 127, 14), (148, 103, 189)]
     if colors is None:
         colors = [palette[i % len(palette)] for i in range(len(clouds))]
+    if len(colors) != len(clouds):
+        raise ValueError(f"{len(clouds)} clouds but {len(colors)} colors")
     total = sum(int(c.shape[0]) for c in clouds)
-    _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n"
                 f"element vertex {total}\n"
                 "property float x\nproperty float y\nproperty float z\n"
                 "property uchar red\nproperty uchar green\n"
                 "property uchar blue\nend_header\n")
+        # one vectorized savetxt per cloud: warm-up models reach 10^5-10^6
+        # points, where a per-point f.write loop costs minutes
         for cloud, (r, g, b) in zip(clouds, colors):
             pts = np.asarray(cloud, np.float64)
-            for x, y, z in pts:
-                f.write(f"{x:.6f} {y:.6f} {z:.6f} {r} {g} {b}\n")
+            rgb = np.broadcast_to(np.array([r, g, b], np.int64),
+                                  (pts.shape[0], 3))
+            np.savetxt(f, np.concatenate([pts, rgb], axis=1),
+                       fmt="%.6f %.6f %.6f %d %d %d")

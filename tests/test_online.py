@@ -74,3 +74,41 @@ def test_online_refine_smooths_trajectory():
     # between-factors-only refinement stays near the measured chain
     track = np.asarray(st.poses_hist[:N])
     assert np.abs(refined - track).max() < 0.5
+
+
+def test_online_history_capacity_guard():
+    """Past n_max steps the stored prefix must stay a consistent
+    trajectory (no silent overwrite of the last slot) and refine() must
+    clamp instead of crashing (round-2 review)."""
+    counts, gyro, points, masks = _log(3)
+    st = online.init_state(points[0], masks[0], CFG, n_max=8, K=K)
+    tracks = []
+    for t in range(1, 20):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], CFG, K=K)
+        if t == 7:
+            tracks = np.asarray(st.poses_hist).copy()
+    assert int(st.step) == 19
+    # the first-8-steps prefix is untouched by the later overflow steps
+    np.testing.assert_array_equal(np.asarray(st.poses_hist), tracks)
+    refined = online.refine(st, CFG)
+    assert refined.shape == (8, 3)
+    assert np.isfinite(refined).all()
+
+
+def test_online_refine_with_loops_and_x0():
+    """refine() with the caller's scan history adds gated fixed-interval
+    loop closures, and a non-zero start pose anchors the prior at the
+    trajectory START (round-2 review: it was snapped to the origin)."""
+    counts, gyro, points, masks = _log(4)
+    x0 = jnp.asarray([5.0, -2.0, 0.3])
+    st = online.init_state(points[0], masks[0], CFG, n_max=64, K=K, x0=x0)
+    for t in range(1, N):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], CFG, K=K)
+    refined = online.refine(st, CFG, scans=points, scan_masks=masks)
+    track = np.asarray(st.poses_hist[:N])
+    assert refined.shape == (N, 3)
+    # anchored at the start pose, not the origin
+    np.testing.assert_allclose(refined[0], np.asarray(x0), atol=0.05)
+    assert np.abs(refined - track).max() < 0.5
