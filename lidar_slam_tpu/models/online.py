@@ -129,12 +129,13 @@ def online_step(
     T_new = se2.p_matmul(se2.T_from_pose(state.pose), rel2)
     pose_new = se2.pose_from_T(T_new)
 
-    # 3. causal map update (reference modules/ogm.py:149-188) — the
-    # compact single-scan scatter (occupancy.update_map) that the offline
-    # CPU path uses; ~2x cheaper than the dense R*K scatter
+    # 3. causal map update (reference modules/ogm.py:149-188) via the
+    # backend-dispatched single-scan build: the Pallas ray-walk kernel on
+    # TPU (~0.4 ms vs ~3.3 ms compacted scatter), scatter elsewhere
     if update_map:
-        logodds = occupancy.update_map(state.logodds, pose_new,
-                                       pts3[..., :2], mask, cfg.map, K)
+        logodds = occupancy.build_logodds(
+            pose_new[None], pts3[None, :, :2], mask[None], cfg.map, K,
+            init=state.logodds)
     else:
         logodds = state.logodds
 
