@@ -157,3 +157,20 @@ def test_scipy_from_init_never_beats_ours():
     # same basin: trf approaches our optimum from the same init
     diff = np.abs(sol.x.reshape(n, 3) - np.asarray(res.poses)).max()
     assert diff < 5e-3, f"different optima? pose diff {diff:.2e}"
+
+
+@pytest.mark.slow
+def test_banded_matches_direct_at_dataset_scale():
+    """The production default (solver='banded', SlamConfig) must reach the
+    direct solver's optimum on a dataset-20-scale fixed-interval graph —
+    the at-scale companion of test_banded_solver_matches_direct."""
+    n = 4956
+    init, g = _make_problem(2, n)
+    rd = pg.optimize(init, g, max_iters=50, solver="direct")
+    rb = pg.optimize(init, g, max_iters=50, solver="banded", band=10)
+    assert int(rb.iterations) < 15
+    np.testing.assert_allclose(np.asarray(rb.poses), np.asarray(rd.poses),
+                               atol=1e-5)
+    grad_fn = jax.jit(jax.grad(lambda x: pg.graph_cost(x, g)))
+    g1 = float(jnp.abs(grad_fn(rb.poses)).max())
+    assert g1 < 1e-6, f"banded optimum not stationary: {g1:.2e}"
