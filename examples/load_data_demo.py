@@ -3,6 +3,11 @@ prints the shapes and time spans of every sensor stream, from real npz files
 or the synthetic generator."""
 
 import argparse
+import os
+import sys
+
+# runnable from anywhere: python examples/load_data_demo.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lidar_slam_tpu.utils import io
 
