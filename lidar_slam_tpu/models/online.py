@@ -208,3 +208,19 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
         loop_meas=lm, loop_mask=accept)
     res = pose_graph.optimize_with_config(poses, graph, cfg.pose_graph)
     return np.asarray(res.poses)
+
+
+def save_state(path: str, state: OnlineState) -> None:
+    """Checkpoint the full online state to one .npz (SURVEY.md section 5
+    checkpoint/resume: the offline pipeline checkpoints stage arrays; the
+    serving mode checkpoints its entire device state, so a restarted
+    process resumes mid-stream with zero drift)."""
+    np.savez(path, **{k: np.asarray(v)
+                      for k, v in state._asdict().items()})
+
+
+def load_state(path: str) -> OnlineState:
+    """Restore a checkpoint written by save_state."""
+    with np.load(path) as d:
+        return OnlineState(**{k: jnp.asarray(d[k])
+                              for k in OnlineState._fields})

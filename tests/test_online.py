@@ -112,3 +112,27 @@ def test_online_refine_with_loops_and_x0():
     # anchored at the start pose, not the origin
     np.testing.assert_allclose(refined[0], np.asarray(x0), atol=0.05)
     assert np.abs(refined - track).max() < 0.5
+
+
+def test_online_checkpoint_resume(tmp_path):
+    """A restored checkpoint continues the stream with results identical
+    to the uninterrupted run (serving-mode elastic recovery)."""
+    counts, gyro, points, masks = _log(5)
+    st = online.init_state(points[0], masks[0], CFG, n_max=64, K=K)
+    for t in range(1, 15):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], CFG, K=K)
+    p = tmp_path / "ckpt.npz"
+    online.save_state(str(p), st)
+    st_resumed = online.load_state(str(p))
+    for t in range(15, N):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], CFG, K=K)
+        st_resumed = online.online_step(st_resumed, counts[t], gyro[t],
+                                        points[t], masks[t], CFG, K=K)
+    np.testing.assert_array_equal(np.asarray(st.pose),
+                                  np.asarray(st_resumed.pose))
+    np.testing.assert_array_equal(np.asarray(st.logodds),
+                                  np.asarray(st_resumed.logodds))
+    np.testing.assert_array_equal(np.asarray(st.poses_hist),
+                                  np.asarray(st_resumed.poses_hist))
