@@ -249,3 +249,56 @@ def test_icp_max_iters_cap():
     res = icp_ops.run_icp(jnp.asarray(src), jnp.asarray(tgt), epsilon=0.0,
                           max_iters=5, stopping_thresh=0.0)
     assert int(res.iters) == 6  # reference runs max_iters+1 computes
+
+
+def test_resume_equals_uninterrupted():
+    """icp_step_batch + resume_icp_batch must reproduce run_icp_batch
+    exactly — resuming changes only the schedule, never the math
+    (ops/icp.py IcpCarry contract)."""
+    rng = np.random.default_rng(8)
+    B, P = 6, 80
+    tgt = rng.uniform(-2, 2, (B, P, 2))
+    ang = rng.normal(0, 0.1, B)
+    src = np.stack([
+        t @ np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]]).T
+        + rng.normal(0, 0.05, 2) for t, a in zip(tgt, ang)])
+    s3 = icp_ops.lift_to_3d(jnp.asarray(src, jnp.float32))
+    t3 = icp_ops.lift_to_3d(jnp.asarray(tgt, jnp.float32))
+    m = jnp.ones((B, P), bool)
+    init = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
+    kw = dict(epsilon=1e-6, max_iters=50, stopping_thresh=1e-7, planar=True)
+
+    full = icp_ops.run_icp_batch(s3, t3, m, m, init, **kw)
+    carry = icp_ops.initial_icp_carry(init, B, P, jnp.float32)
+    for _ in range(3):  # three single steps, then resume to convergence
+        carry = icp_ops.icp_step_batch(s3, t3, m, m, carry,
+                                   normalize_error=False,
+                                   nn_backend="jnp", **kw)
+    res = icp_ops.resume_icp_batch(s3, t3, m, m, carry, **kw)
+    np.testing.assert_array_equal(np.asarray(res.iters),
+                                  np.asarray(full.iters))
+    # eager single steps compile the body standalone, so XLA fusion (fma)
+    # rounds differently than inside run_icp_batch's while_loop — the
+    # iterate SEQUENCE is identical but floats differ at the ulp level
+    np.testing.assert_allclose(np.asarray(res.T), np.asarray(full.T),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.error),
+                               np.asarray(full.error), atol=1e-6)
+
+
+def test_nearest_neighbor_dists_matches_reference_semantics():
+    """nearest_neighbor_dists returns the argmin indices plus the TRUE
+    squared distances of the chosen pairs (reference get_correspondences
+    returns indices whose distances feed the error, modules/icp.py:29-41)."""
+    from lidar_slam_tpu.ops.nn import nearest_neighbor_dists, nearest_neighbors
+
+    rng = np.random.default_rng(9)
+    src = jnp.asarray(rng.normal(size=(2, 40, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(2, 55, 3)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 55)) > 0.3)
+    idx, d2 = nearest_neighbor_dists(src, tgt, mask)
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.asarray(nearest_neighbors(src, tgt, mask)))
+    m = np.take_along_axis(np.asarray(tgt), np.asarray(idx)[..., None], -2)
+    want = ((np.asarray(src) - m) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d2), want, atol=1e-6)
