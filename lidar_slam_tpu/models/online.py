@@ -186,7 +186,10 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
     rel = state.rel_hist[:n - 1]
     interval = cfg.pose_graph.fixed_interval
     if scans is not None and n > interval + 1:
-        pts3 = _icp.lift_to_3d(jnp.asarray(scans[:n]))
+        # match the history dtype: under x64 (tests) caller scans can be
+        # f64, which would scatter f64 values into the f32 graph arrays
+        pts3 = _icp.lift_to_3d(
+            jnp.asarray(scans[:n], state.poses_hist.dtype))
         masks = jnp.asarray(scan_masks[:n])
         cand = loop_closure_candidates(n, interval)
         loop_T, accept, _, _ = compute_loop_closures(
