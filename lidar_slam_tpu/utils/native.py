@@ -64,6 +64,15 @@ def _load() -> Optional[ctypes.CDLL]:
                            ctypes.c_void_p, ctypes.c_longlong,
                            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
             fn.restype = ctypes.c_int
+        lib.slamio_kdtree_build.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                            ctypes.c_int]
+        lib.slamio_kdtree_build.restype = ctypes.c_void_p
+        lib.slamio_kdtree_query.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_int, ctypes.c_void_p,
+                                            ctypes.c_void_p]
+        lib.slamio_kdtree_query.restype = None
+        lib.slamio_kdtree_free.argtypes = [ctypes.c_void_p]
+        lib.slamio_kdtree_free.restype = None
         _LIB = lib
     except OSError:
         _LIB = None
@@ -139,3 +148,40 @@ def read_png_batch(paths, shape, dtype, n_threads: int = 4) -> np.ndarray:
         if rcs[i] != 0:
             raise IOError(f"native PNG decode failed for {paths[i]} (rc={rcs[i]})")
     return out
+
+
+def kdtree_query(target: np.ndarray, queries: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact nearest neighbor of each query in `target` via the native KDTree.
+
+    The host-side conformance oracle for the on-device brute-force NN
+    (ops/nn.py) — the first-party stand-in for the reference's scipy KDTree
+    (reference: modules/icp.py:40,161). target (M, D), queries (N, D);
+    returns (idx (N,) int32 into target, d2 (N,) float32 true squared
+    distances). Ties resolve to the lowest target index (numpy argmin
+    semantics, same as ops/nn.py).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run `make -C native`)")
+    target = np.ascontiguousarray(target, dtype=np.float32)
+    queries = np.ascontiguousarray(queries, dtype=np.float32)
+    if target.ndim != 2 or queries.ndim != 2 or target.shape[1] != queries.shape[1]:
+        raise ValueError(
+            f"shape mismatch: target {target.shape}, queries {queries.shape}")
+    m, d = target.shape
+    n = queries.shape[0]
+    handle = lib.slamio_kdtree_build(
+        target.ctypes.data_as(ctypes.c_void_p), m, d)
+    if not handle:
+        raise RuntimeError(f"kdtree build failed for shape {target.shape}")
+    try:
+        idx = np.empty(n, dtype=np.int32)
+        d2 = np.empty(n, dtype=np.float32)
+        lib.slamio_kdtree_query(handle,
+                                queries.ctypes.data_as(ctypes.c_void_p), n,
+                                idx.ctypes.data_as(ctypes.c_void_p),
+                                d2.ctypes.data_as(ctypes.c_void_p))
+    finally:
+        lib.slamio_kdtree_free(handle)
+    return idx, d2

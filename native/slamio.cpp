@@ -9,6 +9,7 @@
 
 #include <png.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -81,9 +82,100 @@ int read_png_file(const char* path, PngImage* out, bool header_only) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Exact KDTree — the host-side conformance oracle for the on-device
+// brute-force NN (lidar_slam_tpu/ops/nn.py). The reference's correspondence
+// search is scipy.spatial.KDTree (reference: modules/icp.py:40,161); this is
+// the first-party equivalent, used to validate that the TPU argmin path
+// returns the true nearest neighbor. Ties in squared distance resolve to the
+// LOWEST point index, matching numpy argmin semantics (and ops/nn.py).
+// ---------------------------------------------------------------------------
+
+struct KdTree {
+  int dims = 0;
+  int n = 0;
+  std::vector<float> pts;  // n * dims, row-major
+  std::vector<int> order;  // permutation; subtree over order[lo, hi)
+
+  float coord(int point, int axis) const {
+    return pts[(size_t)point * dims + axis];
+  }
+
+  void build(int lo, int hi, int depth) {
+    if (hi - lo <= 1) return;
+    int axis = depth % dims;
+    int mid = (lo + hi) / 2;
+    std::nth_element(order.begin() + lo, order.begin() + mid,
+                     order.begin() + hi, [&](int a, int b) {
+                       float ca = coord(a, axis), cb = coord(b, axis);
+                       if (ca != cb) return ca < cb;
+                       return a < b;  // deterministic layout
+                     });
+    build(lo, mid, depth + 1);
+    build(mid + 1, hi, depth + 1);
+  }
+
+  void query_range(const float* q, int lo, int hi, int depth, double* best_d2,
+                   int* best_idx) const {
+    if (hi <= lo) return;
+    int mid = (lo + hi) / 2;
+    int pivot = order[mid];
+    double d2 = 0.0;
+    for (int a = 0; a < dims; ++a) {
+      double diff = (double)q[a] - (double)coord(pivot, a);
+      d2 += diff * diff;
+    }
+    if (d2 < *best_d2 || (d2 == *best_d2 && pivot < *best_idx)) {
+      *best_d2 = d2;
+      *best_idx = pivot;
+    }
+    if (hi - lo == 1) return;
+    int axis = depth % dims;
+    double diff = (double)q[axis] - (double)coord(pivot, axis);
+    int near_lo = diff < 0 ? lo : mid + 1, near_hi = diff < 0 ? mid : hi;
+    int far_lo = diff < 0 ? mid + 1 : lo, far_hi = diff < 0 ? hi : mid;
+    query_range(q, near_lo, near_hi, depth + 1, best_d2, best_idx);
+    // prune the far side only when the splitting plane is STRICTLY farther
+    // than the best: a point AT best_d2 there could have a lower index.
+    if (diff * diff <= *best_d2)
+      query_range(q, far_lo, far_hi, depth + 1, best_d2, best_idx);
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* slamio_kdtree_build(const float* pts, int n, int dims) {
+  if (n <= 0 || dims <= 0 || dims > 8) return nullptr;
+  KdTree* tree = new KdTree;
+  tree->dims = dims;
+  tree->n = n;
+  tree->pts.assign(pts, pts + (size_t)n * dims);
+  tree->order.resize(n);
+  for (int i = 0; i < n; ++i) tree->order[i] = i;
+  tree->build(0, n, 0);
+  return tree;
+}
+
+// Exact 1-NN for each query row; out_idx[i] = index into the build points,
+// out_d2[i] = true squared distance (double-accumulated, rounded to f32).
+void slamio_kdtree_query(void* handle, const float* queries, int nq,
+                         int* out_idx, float* out_d2) {
+  const KdTree* tree = static_cast<const KdTree*>(handle);
+  for (int i = 0; i < nq; ++i) {
+    double best_d2 = 1e300;
+    int best_idx = -1;
+    tree->query_range(queries + (size_t)i * tree->dims, 0, tree->n, 0,
+                      &best_d2, &best_idx);
+    out_idx[i] = best_idx;
+    out_d2[i] = (float)best_d2;
+  }
+}
+
+void slamio_kdtree_free(void* handle) {
+  delete static_cast<KdTree*>(handle);
+}
 
 int slamio_read_png_info(const char* path, int* width, int* height,
                          int* channels, int* bit_depth) {

@@ -1,0 +1,94 @@
+"""Native exact-KDTree oracle vs the on-device brute-force NN (ops/nn.py).
+
+The reference's correspondence search is scipy.spatial.KDTree (reference:
+modules/icp.py:40,161). Our first-party C++ KDTree (native/slamio.cpp) is the
+host-side exact oracle; these tests pin (a) the tree itself against a float64
+brute-force argmin, and (b) the production TPU NN path against the tree.
+"""
+
+import numpy as np
+import pytest
+
+from lidar_slam_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built")
+
+
+def _brute(tgt, q):
+    d = ((q[:, None, :].astype(np.float64)
+          - tgt[None].astype(np.float64)) ** 2).sum(-1)
+    idx = d.argmin(1)
+    return idx, d[np.arange(len(q)), idx]
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_kdtree_matches_float64_bruteforce(dims):
+    rng = np.random.default_rng(7)
+    tgt = rng.normal(size=(1081, dims)).astype(np.float32)
+    q = rng.normal(size=(777, dims)).astype(np.float32)
+    idx, d2 = native.kdtree_query(tgt, q)
+    bidx, bd2 = _brute(tgt, q)
+    np.testing.assert_array_equal(idx, bidx)
+    np.testing.assert_allclose(d2, bd2, rtol=1e-5)
+
+
+def test_kdtree_tie_break_lowest_index():
+    # duplicated target points: numpy argmin semantics pick the lowest index
+    tgt = np.array([[1, 0], [0, 0], [0, 0], [1, 0], [0, 0]], np.float32)
+    idx, d2 = native.kdtree_query(
+        tgt, np.array([[0, 0.25], [0.9, -0.1]], np.float32))
+    assert idx.tolist() == [1, 0]
+    np.testing.assert_allclose(d2, [0.0625, 0.02], rtol=1e-6)
+
+
+def test_kdtree_degenerate_inputs():
+    # single target point; queries equal to targets (zero distance)
+    tgt = np.array([[3.0, -2.0]], np.float32)
+    idx, d2 = native.kdtree_query(tgt, np.array([[0.0, 0.0]], np.float32))
+    assert idx.tolist() == [0]
+    rng = np.random.default_rng(3)
+    tgt = rng.normal(size=(64, 3)).astype(np.float32)
+    idx, d2 = native.kdtree_query(tgt, tgt)
+    np.testing.assert_array_equal(idx, np.arange(64))
+    np.testing.assert_array_equal(d2, np.zeros(64, np.float32))
+
+    with pytest.raises(ValueError):
+        native.kdtree_query(tgt, rng.normal(size=(4, 2)).astype(np.float32))
+
+
+def test_device_nn_conforms_to_native_kdtree():
+    """The production brute-force argmin (ops/nn.py) returns the true nearest
+    neighbor — checked point-for-point against the exact native tree on
+    scan-shaped clouds, including masked targets."""
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.ops.nn import nearest_neighbors
+
+    rng = np.random.default_rng(11)
+    src = rng.uniform(-10, 10, size=(1081, 2)).astype(np.float32)
+    tgt = rng.uniform(-10, 10, size=(1081, 2)).astype(np.float32)
+
+    dev_idx = np.asarray(nearest_neighbors(jnp.asarray(src), jnp.asarray(tgt)))
+    ref_idx, ref_d2 = native.kdtree_query(tgt, src)
+    # allow only floating near-tie flips: where indices differ, the chosen
+    # target's true distance must match the optimal one to f32 round-off
+    diff = dev_idx != ref_idx
+    if diff.any():
+        chosen = ((src[diff] - tgt[dev_idx[diff]]) ** 2).sum(-1)
+        np.testing.assert_allclose(chosen, ref_d2[diff], rtol=1e-5)
+    assert diff.mean() < 0.001
+
+    # masked path: restrict targets and compare against a tree on the subset
+    mask = rng.random(1081) > 0.3
+    sub = tgt[mask]
+    sub_to_full = np.flatnonzero(mask)
+    dev_idx = np.asarray(nearest_neighbors(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask)))
+    ref_idx, ref_d2 = native.kdtree_query(sub, src)
+    diff = dev_idx != sub_to_full[ref_idx]
+    if diff.any():
+        chosen = ((src[diff] - tgt[dev_idx[diff]]) ** 2).sum(-1)
+        np.testing.assert_allclose(chosen, ref_d2[diff], rtol=1e-5)
+    assert diff.mean() < 0.001
+    assert mask[dev_idx].all()  # masked-out targets never selected
