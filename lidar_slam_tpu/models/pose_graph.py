@@ -309,8 +309,48 @@ _factor_r_and_J = jax.vmap(
 )
 
 
-@partial(jax.jit, static_argnames=("max_iters", "cg_iters", "solver", "band"))
 def optimize(
+    poses0: jnp.ndarray,
+    graph: PoseGraph,
+    max_iters: int = 50,
+    lambda_init: float = 1e-4,
+    lambda_up: float = 10.0,
+    lambda_down: float = 0.1,
+    cg_iters: int = 250,
+    cg_tol: float = 1e-8,
+    cost_rtol: float = 1e-9,
+    solver: str = "direct",
+    band: int = 10,
+) -> LMResult:
+    """Public LM entry point. See _optimize_jit for the solver itself.
+
+    Host-side safety net for solver="banded": the banded solver is exact
+    ONLY when every live loop factor spans <= band poses (fixed-interval
+    graphs); a wider arc's Hessian blocks would be silently dropped. When
+    the loop index arrays are concrete (the normal eager call), verify the
+    span and fall back to the any-topology "direct" solver instead of
+    returning a quietly degraded step. Inside an enclosing jit the indices
+    are tracers and the check is skipped — the pipeline callers there
+    (run_slam/refine) construct fixed-interval graphs by design.
+    """
+    if solver == "banded" and graph.loop_i.shape[0]:
+        import numpy as np
+        if not (isinstance(graph.loop_i, jax.core.Tracer)
+                or isinstance(graph.loop_j, jax.core.Tracer)):
+            span = np.asarray(graph.loop_j) - np.asarray(graph.loop_i)
+            if not isinstance(graph.loop_mask, jax.core.Tracer):
+                span = span[np.asarray(graph.loop_mask).astype(bool)]
+            if span.size and int(span.max()) > band:
+                solver = "direct"
+    return _optimize_jit(poses0, graph, max_iters=max_iters,
+                         lambda_init=lambda_init, lambda_up=lambda_up,
+                         lambda_down=lambda_down, cg_iters=cg_iters,
+                         cg_tol=cg_tol, cost_rtol=cost_rtol, solver=solver,
+                         band=band)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "cg_iters", "solver", "band"))
+def _optimize_jit(
     poses0: jnp.ndarray,
     graph: PoseGraph,
     max_iters: int = 50,

@@ -125,13 +125,21 @@ def icp_all_pairs(
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
 
     def step_chunk(args):
-        s, t, sm, tm, carry = args
-        # all-done chunks cost one predicate, not a full NN pass
-        return jax.lax.cond(
-            jnp.any(~carry.done),
-            lambda a: icp_ops.icp_step_batch(*a, **kwargs),
-            lambda a: a[4],
-            (s, t, sm, tm, carry))
+        # only the carry and the original-pair indices travel through the
+        # resort; live chunks gather their (C, P, ...) point slices here, so
+        # a phase moves O(live-chunks x C x P) point bytes instead of
+        # re-permuting the full padded arrays (~100 MB/phase at dataset
+        # scale). All-done chunks cost one predicate, not a full NN pass.
+        oidx, carry = args
+
+        def live(a):
+            oidx, carry = a
+            return icp_ops.icp_step_batch(src_p[oidx], tgt_p[oidx],
+                                          src_mask_p[oidx], tgt_mask_p[oidx],
+                                          carry, **kwargs)
+
+        return jax.lax.cond(jnp.any(~carry.done), live, lambda a: a[1],
+                            (oidx, carry))
 
     # phase 0: one iteration for every pair (work any schedule must do)
     def phase0(args):
@@ -143,26 +151,22 @@ def icp_all_pairs(
         phase0, (resh(src_p), resh(tgt_p), resh(src_mask_p),
                  resh(tgt_mask_p), resh(init_p))))
 
-    state = (c, jnp.arange(c.done.shape[0]), src_p, tgt_p,
-             src_mask_p, tgt_mask_p)
+    state = (c, jnp.arange(c.done.shape[0]))
 
     def cond(st):
         return jnp.any(~st[0].done)
 
     def body(st):
-        c, orig, s, t, sm, tm = st
+        c, orig = st
         # live pairs to the front (stable sort on the done flag), so live
         # work occupies ceil(live / C) chunks and the rest are skipped
         order = jnp.argsort(c.done, stable=True)
         c = tmap(lambda x: x[order], c)
-        orig, s, t = orig[order], s[order], t[order]
-        sm, tm = sm[order], tm[order]
-        c = tmap(flat, jax.lax.map(
-            step_chunk, (resh(s), resh(t), resh(sm), resh(tm),
-                         tmap(resh, c))))
-        return (c, orig, s, t, sm, tm)
+        orig = orig[order]
+        c = tmap(flat, jax.lax.map(step_chunk, (resh(orig), tmap(resh, c))))
+        return (c, orig)
 
-    c, orig = jax.lax.while_loop(cond, body, state)[:2]
+    c, orig = jax.lax.while_loop(cond, body, state)
     inv = jnp.argsort(orig)
     return c.T[inv][:B], c.err[inv][:B], c.k[inv][:B]
 

@@ -114,12 +114,17 @@ def nearest_neighbors_pallas(
     B, N, D = src.shape
     M = tgt.shape[1]
     Bp = _round_up(B, _TB)
+    Mp = _round_up(M, 128)
     if tile_n is None:
         # whole source axis per grid step: fewer, bigger steps measurably
-        # beat small tiles (per-grid-step overhead dominates tiny kernels)
-        tile_n = _round_up(N, 128)
+        # beat small tiles (per-grid-step overhead dominates tiny kernels).
+        # Capped so the two (tile_n, Mp) key/distance intermediates stay
+        # within a ~12 MiB VMEM budget: at Mp well beyond the scan regime
+        # (e.g. the documented M <= 4096 ceiling) an uncapped whole-source
+        # tile would need ~2x VMEM and fail to compile.
+        cap = (12 * 1024 * 1024 // (8 * Mp)) // 128 * 128
+        tile_n = min(_round_up(N, 128), max(128, cap))
     Np = _round_up(N, tile_n)
-    Mp = _round_up(M, 128)
     idx_bits = 11 if Mp <= (1 << 11) else 12
     if Mp > (1 << idx_bits):
         raise ValueError(

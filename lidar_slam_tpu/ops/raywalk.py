@@ -134,10 +134,12 @@ def ray_descriptors(
             to32(dM), to32(dm), to32(c), k_in, k_out)
 
 
-def _make_kernel(n_rays: int, log4: float, clip: float):
+def _make_kernel(n_rays: int, log4: float, clip: float | None):
     # keep as Python floats: jnp scalars would be captured tracer constants
+    # clip=None builds an UNCLIPPED kernel (per-scan DELTA for the sharded
+    # psum-of-deltas path, where the clip applies after the all-reduce)
     log4 = float(log4)
-    clip = float(clip)
+    clip = None if clip is None else float(clip)
 
     def kernel(steep_ref, sM_ref, sm_ref, sgM_ref, sgm_ref, dM_ref,
                dm_ref, c_ref, kin_ref, kout_ref, grid_in_ref, grid_ref):
@@ -224,8 +226,9 @@ def _make_kernel(n_rays: int, log4: float, clip: float):
             return 0
 
         jax.lax.fori_loop(0, n_rays, ray_body, 0)
-        # per-scan clip (reference ogm.py:188), fused before writeback
-        grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
+        if clip is not None:
+            # per-scan clip (reference ogm.py:188), fused before writeback
+            grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
 
     return kernel
 
@@ -240,7 +243,9 @@ def _make_kernel(n_rays: int, log4: float, clip: float):
 # boundary math to the XLA side, vectorized over rays on the VPU, and hands
 # the kernel one packed int32 word per visit:
 #
-#   bits [24..29) row-tile index   (rt / TS      — 5 bits, grid <= 32 tiles)
+#   bits [24..31) row-tile index   (rt / TS — all top bits of a non-negative
+#                                   int32, so <= 127 tiles; build_logodds_
+#                                   raywalk guards Wp <= 127 * TS)
 #   bits [20..24) lane-tile index  (lt / 128     — 4 bits)
 #   bits [10..20) k_next           (exit slot, pre-min'ed with k_out + 1)
 #   bits [ 0..10) k_start
@@ -322,9 +327,9 @@ def visit_descriptors(
     return base + (desc,)
 
 
-def _make_kernel_v2(n_rays: int, log4: float, clip: float):
+def _make_kernel_v2(n_rays: int, log4: float, clip: float | None):
     log4 = float(log4)
-    clip = float(clip)
+    clip = None if clip is None else float(clip)
 
     def kernel(steep_ref, sM_ref, sm_ref, sgM_ref, sgm_ref, dM_ref,
                dm_ref, c_ref, kin_ref, kout_ref, desc_ref,
@@ -380,10 +385,102 @@ def _make_kernel_v2(n_rays: int, log4: float, clip: float):
             return 0
 
         jax.lax.fori_loop(0, n_rays, ray_body, 0)
-        # per-scan clip (reference ogm.py:188), fused before writeback
-        grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
+        if clip is not None:
+            # per-scan clip (reference ogm.py:188), fused before writeback
+            grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
 
     return kernel
+
+
+def _padded_dims(cfg: MapConfig) -> Tuple[int, int]:
+    return (_round_up(cfg.width, TS) + TS,
+            _round_up(cfg.height, _LANES) + _LANES)
+
+
+def _resolve_version(cfg: MapConfig, K: int, version: int) -> int:
+    """v2 capacity limits — fall back to v1 (in-kernel boundaries, no
+    precomputed visit list) when any is exceeded:
+      - K <= _NCROSS * TS: visit_descriptors precomputes at most _NCROSS
+        tile crossings per axis, which covers a walk span of _NCROSS * TS
+        slots; beyond that, crossings would be silently MISSING and cells
+        dropped (the guard is what makes that impossible, not rare)
+      - packed-word field widths: k fields 10 bits (K < 1024 is implied by
+        the crossing bound), lane-tile 4 bits, row-tile the remaining top
+        bits (non-negative int32 => <= 127 tiles)
+    """
+    Wp, Hp = _padded_dims(cfg)
+    if version == 2 and not (K <= _NCROSS * TS and Wp <= 127 * TS
+                             and Hp <= 16 * _LANES):
+        return 1
+    return version
+
+
+def _make_call(n_rays: int, cfg: MapConfig, interpret: bool, version: int,
+               clip: float | None, vma=None):
+    """Build the (pallas_call, describe_fn) pair for one scan's walk.
+
+    vma: set of shard_map axis names the output varies over (required when
+    calling from inside a shard_map with check_vma)."""
+    Wp, Hp = _padded_dims(cfg)
+    if version == 2:
+        kernel = _make_kernel_v2(n_rays, cfg.logodds_ratio, clip)
+        n_prefetch, describe = 11, visit_descriptors
+    else:
+        kernel = _make_kernel(n_rays, cfg.logodds_ratio, clip)
+        n_prefetch, describe = 10, ray_descriptors
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    out_shape = (jax.ShapeDtypeStruct((Wp, Hp), jnp.float32) if vma is None
+                 else jax.ShapeDtypeStruct((Wp, Hp), jnp.float32, vma=vma))
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={n_prefetch: 0},
+        interpret=interpret,
+    )
+    return call, describe
+
+
+def scan_delta_raywalk(
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+    interpret: bool = False,
+    version: int = 2,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """One scan's UNCLIPPED log-odds delta via the ray-walk kernel.
+
+    Returns the (width, height) sum of this scan's per-ray +/-log4
+    contributions — the associative per-scan quantity the sharded map path
+    psums across ray shards before applying the reference's per-scan clip
+    (modules/ogm.py:188) to the carried grid. Equal to the scatter-path
+    delta (occupancy.scan_logodds_delta summed into a zero grid) up to
+    float accumulation order.
+
+    axis_name: when called inside a shard_map over that mesh axis (points/
+    mask holding this device's ray shard), marks the delta as varying over
+    it so the caller can psum.
+    """
+    version = _resolve_version(cfg, K, version)
+    vma = None if axis_name is None else frozenset({axis_name})
+    # points is ONE scan (R, 2) here — ray count is axis 0
+    call, describe = _make_call(int(points.shape[0]), cfg, interpret,
+                                version, clip=None, vma=vma)
+    Wp, Hp = _padded_dims(cfg)
+    zeros = jnp.zeros((Wp, Hp), jnp.float32)
+    if axis_name is not None:
+        zeros = jax.lax.pcast(zeros, axis_name, to="varying")
+    desc = describe(pose, points, mask, cfg, K)
+    delta = call(*desc, zeros)
+    return delta[:cfg.width, :cfg.height]
 
 
 @partial(jax.jit, static_argnames=("cfg", "K", "interpret", "version"))
@@ -407,42 +504,10 @@ def build_logodds_raywalk(
     the boundaries in-kernel.
     """
     n_rays = int(points.shape[1])
-    Wp = _round_up(cfg.width, TS) + TS
-    Hp = _round_up(cfg.height, _LANES) + _LANES
-    if version == 2:
-        # v2 capacity limits — fall back to v1 (in-kernel boundaries, no
-        # precomputed visit list) when any is exceeded:
-        #   - K <= _NCROSS * TS: visit_descriptors precomputes at most
-        #     _NCROSS tile crossings per axis, which covers a walk span of
-        #     _NCROSS * TS slots; beyond that, crossings would be silently
-        #     MISSING and cells dropped (the guard is what makes that
-        #     impossible, not rare)
-        #   - packed-word field widths: k fields 10 bits (K < 1024 is
-        #     implied by the crossing bound), lane-tile 4 bits, row-tile
-        #     the remaining top bits (non-negative int32 => <= 127 tiles)
-        if not (K <= _NCROSS * TS and Wp <= 127 * TS
-                and Hp <= 16 * _LANES):
-            version = 1
-
-    if version == 2:
-        kernel = _make_kernel_v2(n_rays, cfg.logodds_ratio, cfg.logodds_clip)
-        n_prefetch, describe = 11, visit_descriptors
-    else:
-        kernel = _make_kernel(n_rays, cfg.logodds_ratio, cfg.logodds_clip)
-        n_prefetch, describe = 10, ray_descriptors
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Wp, Hp), jnp.float32),
-        input_output_aliases={n_prefetch: 0},
-        interpret=interpret,
-    )
+    version = _resolve_version(cfg, K, version)
+    call, describe = _make_call(n_rays, cfg, interpret, version,
+                                clip=cfg.logodds_clip)
+    Wp, Hp = _padded_dims(cfg)
 
     if init is None:
         grid0 = jnp.zeros((Wp, Hp), jnp.float32)

@@ -196,6 +196,38 @@ def test_banded_solver_matches_direct(n, G, span_mode):
     np.testing.assert_allclose(float(rb.cost), float(rd.cost), rtol=1e-6)
 
 
+def test_banded_solver_falls_back_on_wide_loops():
+    """optimize(solver='banded') with a CONCRETE loop arc wider than `band`
+    must fall back to the exact any-topology solver instead of silently
+    dropping the loop's Hessian blocks (round-2 advisor finding)."""
+    rng = np.random.default_rng(23)
+    n = 60
+    gt = np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0)
+    rel = se2.get_relative_pose(jnp.asarray(gt[:-1]), jnp.asarray(gt[1:]))
+    li = jnp.asarray(np.array([3, 10]))
+    lj = jnp.asarray(np.array([48, 20]))  # span 45 >> band 10
+    lm = se2.get_relative_pose(jnp.asarray(gt[np.asarray(li)]),
+                               jnp.asarray(gt[np.asarray(lj)]))
+    graph = pose_graph.make_graph(
+        rel, PoseGraphConfig(), loop_i=li, loop_j=lj, loop_meas=lm,
+        loop_mask=jnp.ones(2, bool))
+    init = jnp.asarray(gt + rng.normal(0, 0.05, (n, 3)))
+    rb = pose_graph.optimize(init, graph, max_iters=30, solver="banded",
+                             band=10)
+    rd = pose_graph.optimize(init, graph, max_iters=30, solver="direct")
+    # identical, not merely close: the fallback runs the same solver
+    np.testing.assert_array_equal(np.asarray(rb.poses), np.asarray(rd.poses))
+
+    # wide loops that are all MASKED OUT contribute zero blocks, so the
+    # banded solver stays in effect (and must still match direct)
+    graph0 = graph._replace(loop_mask=jnp.zeros(2, bool))
+    rb0 = pose_graph.optimize(init, graph0, max_iters=30, solver="banded",
+                              band=10)
+    rd0 = pose_graph.optimize(init, graph0, max_iters=30, solver="direct")
+    np.testing.assert_allclose(np.asarray(rb0.poses), np.asarray(rd0.poses),
+                               atol=1e-6)
+
+
 def test_banded_solver_tiny_graph():
     """n <= band => a single super-block and NO off-diagonals; this used
     to crash _thomas with a zero-length scan mismatch (round-2 review)."""
