@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import MapConfig
 from ..models.occupancy import _compact_scan_update
 from ..ops.icp import run_icp_batch
+from ..ops.raywalk import scan_delta_raywalk
 
 
 def sharded_icp_batch(mesh: Mesh, axis: str = "dp"):
@@ -49,24 +50,49 @@ def sharded_icp_batch(mesh: Mesh, axis: str = "dp"):
     return fn
 
 
+def resolve_map_backend(backend: str) -> str:
+    """The single-chip pipeline's engine dispatch rule
+    (occupancy.build_logodds): the Pallas ray-walk kernel on TPU, the
+    compacted scatter elsewhere."""
+    if backend == "auto":
+        return "raywalk" if jax.default_backend() == "tpu" else "scatter"
+    return backend
+
+
 def sharded_build_logodds(mesh: Mesh, cfg: MapConfig, K: int,
-                          axis: str = "dp"):
+                          axis: str = "dp", backend: str = "auto"):
     """Return a jitted map builder sharding RAYS over `axis`.
 
     poses (N, 3) replicated; points (N, R, 2) and masks (N, R) sharded on R.
-    R must be a multiple of the axis size (pad rays with mask=False)."""
+    R must be a multiple of the axis size (pad rays with mask=False).
+    backend as in occupancy.build_logodds ("auto" = raywalk on TPU), so the
+    multi-chip path runs the SAME per-scan engine the single-chip pipeline
+    ships. Exactness: within a scan the contributions are a pure sum, so
+    psum-of-deltas + carry clip reproduces the sequential reference
+    semantics (modules/ogm.py:149-188) on any mesh.
+
+    check_vma note: the raywalk branch runs shard_map with check_vma=False —
+    JAX's pallas interpret path (the off-TPU engine used by the CPU-mesh
+    equality tests and the driver dryrun) cannot propagate varying-axis
+    metadata through the kernel's internal while_loops; the 8-device
+    equality tests pin the semantics instead.
+    """
+    backend = resolve_map_backend(backend)
 
     @partial(jax.jit, static_argnames=())
     def build(poses, points, masks):
         def shard_fn(poses_l, points_l, masks_l):
             def step(grid, inp):
                 pose, pts, m = inp
-                # zeros must be marked varying over the shard axis: the
-                # scatter result derives from sharded rays
-                zeros = jax.lax.pcast(
-                    jnp.zeros((cfg.width, cfg.height), jnp.float32),
-                    axis, to="varying")
-                delta = _compact_scan_update(zeros, pose, pts, m, cfg, K)
+                if backend == "raywalk":
+                    delta = scan_delta_raywalk(
+                        pose, pts, m, cfg, K,
+                        interpret=jax.default_backend() != "tpu")
+                else:
+                    zeros = jax.lax.pcast(
+                        jnp.zeros((cfg.width, cfg.height), jnp.float32),
+                        axis, to="varying")
+                    delta = _compact_scan_update(zeros, pose, pts, m, cfg, K)
                 delta = jax.lax.psum(delta, axis)
                 grid = jnp.clip(grid + delta, -cfg.logodds_clip,
                                 cfg.logodds_clip)
@@ -80,6 +106,7 @@ def sharded_build_logodds(mesh: Mesh, cfg: MapConfig, K: int,
             shard_fn, mesh=mesh,
             in_specs=(P(), P(None, axis, None), P(None, axis)),
             out_specs=P(),
+            check_vma=backend != "raywalk",
         )(poses, points, masks)
 
     return build

@@ -22,6 +22,7 @@ from ..config import IcpConfig, MapConfig, PoseGraphConfig
 from ..models import pose_graph
 from ..models.occupancy import _compact_scan_update as _scan_update
 from ..ops.icp import run_icp_batch
+from ..ops.raywalk import scan_delta_raywalk
 from ..utils import se2
 
 
@@ -34,7 +35,8 @@ class SuperStepOut(NamedTuple):
 
 def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
                    icp_cfg: IcpConfig = IcpConfig(),
-                   pg_cfg: PoseGraphConfig = PoseGraphConfig()):
+                   pg_cfg: PoseGraphConfig = PoseGraphConfig(),
+                   map_backend: str = "auto"):
     """Build the jitted multi-device SLAM step.
 
     Inputs of the returned fn:
@@ -43,7 +45,14 @@ def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
       odom_poses (N, 3): odometry seeds (replicated)
       logodds (W, H): current map (replicated)
     Output: SuperStepOut with refined poses and the updated map.
+
+    map_backend follows occupancy.build_logodds's dispatch ("auto" =
+    the Pallas ray-walk kernel on TPU, compacted scatter elsewhere) so the
+    multi-chip step exercises the engine the single-chip pipeline ships.
     """
+    from .sharding import resolve_map_backend
+
+    map_backend = resolve_map_backend(map_backend)
     dp = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
 
@@ -76,10 +85,15 @@ def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
         def map_shard(poses_l, points_l, masks_l, grid0):
             def scan_step(grid, inp):
                 pose, pts, m = inp
-                zeros = jax.lax.pcast(jnp.zeros_like(grid), "rp",
-                                      to="varying")
-                delta = _scan_update(zeros, pose, pts[..., :2], m,
-                                     map_cfg, K)
+                if map_backend == "raywalk":
+                    delta = scan_delta_raywalk(
+                        pose, pts[..., :2], m, map_cfg, K,
+                        interpret=jax.default_backend() != "tpu")
+                else:
+                    zeros = jax.lax.pcast(jnp.zeros_like(grid), "rp",
+                                          to="varying")
+                    delta = _scan_update(zeros, pose, pts[..., :2], m,
+                                         map_cfg, K)
                 delta = jax.lax.psum(delta, "rp")
                 return jnp.clip(grid + delta, -map_cfg.logodds_clip,
                                 map_cfg.logodds_clip), None
@@ -88,10 +102,14 @@ def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
                                    (poses_l, points_l, masks_l))
             return grid
 
+        # check_vma off for raywalk: pallas interpret mode (the off-TPU
+        # engine) cannot thread varying-axis metadata through the kernel's
+        # internal loops; equality tests pin the semantics instead
         grid = jax.shard_map(
             map_shard, mesh=mesh,
             in_specs=(P(), P(None, "rp", None), P(None, "rp"), P()),
             out_specs=P(),
+            check_vma=map_backend != "raywalk",
         )(poses, points, masks, logodds)
 
         return SuperStepOut(poses=poses, logodds=grid,

@@ -67,6 +67,57 @@ def test_sharded_map_matches_single_device():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_sharded_map_raywalk_backend_matches_single_device():
+    """The multi-chip map path dispatched to the PRODUCTION ray-walk engine
+    (the backend the single-chip TPU pipeline ships) must agree with the
+    unsharded scatter build — psum-of-deltas exactness per scan."""
+    cfg = MapConfig(resolution=0.1, world_max_x=8, world_min_x=-8,
+                    world_max_y=8, world_min_y=-8)
+    rng = np.random.default_rng(5)
+    N, R = 6, 64
+    poses = jnp.asarray(np.cumsum(rng.normal(0, 0.05, (N, 3)), axis=0),
+                        jnp.float32)
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    r = rng.uniform(0.3, 6.0, (N, R))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1),
+                      jnp.float32)
+    masks = jnp.asarray(rng.random((N, R)) > 0.05)
+    K = occupancy.max_ray_cells(cfg, 6.0)
+
+    ref = occupancy.build_logodds(poses, pts, masks, cfg, K,
+                                  backend="scatter")
+
+    m = mesh_lib.make_mesh(8)
+    build = sharding.sharded_build_logodds(m, cfg, K, backend="raywalk")
+    got = build(poses, pts, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_map_raywalk_dispatch_on_two_axes():
+    """raywalk backend on a named 'rp' axis of a 2-D mesh (the dryrun's
+    mesh shape)."""
+    cfg = MapConfig(resolution=0.2, world_max_x=6, world_min_x=-6,
+                    world_max_y=6, world_min_y=-6)
+    rng = np.random.default_rng(6)
+    N, R = 4, 32
+    poses = jnp.asarray(np.cumsum(rng.normal(0, 0.05, (N, 3)), axis=0),
+                        jnp.float32)
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    r = rng.uniform(0.3, 5.0, (N, R))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1),
+                      jnp.float32)
+    masks = jnp.asarray(rng.random((N, R)) > 0.05)
+    K = occupancy.max_ray_cells(cfg, 6.0)
+
+    ref = occupancy.build_logodds(poses, pts, masks, cfg, K,
+                                  backend="scatter")
+    m = mesh_lib.make_mesh(8, axes=("dp", "rp"))  # rp size 2
+    build = sharding.sharded_build_logodds(m, cfg, K, axis="rp",
+                                           backend="raywalk")
+    got = build(poses, pts, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_pad_batch():
     x = jnp.ones((5, 3))
     padded, pad = sharding.pad_batch(x, 8)

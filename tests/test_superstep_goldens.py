@@ -42,6 +42,47 @@ def test_superstep_on_cpu_mesh():
     assert float(jnp.abs(out.logodds).sum()) > 0
 
 
+def test_superstep_map_backends_agree():
+    """The multi-device step's map must be identical whichever per-scan
+    engine it dispatches to (the production TPU raywalk kernel vs the
+    scatter path) — the dryrun then genuinely validates the shipped
+    engine's sharding."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lidar_slam_tpu.config import IcpConfig, MapConfig, PoseGraphConfig
+    from lidar_slam_tpu.models.occupancy import max_ray_cells
+    from lidar_slam_tpu.parallel.mesh import make_mesh
+    from lidar_slam_tpu.parallel.superstep import make_slam_step
+
+    mesh = make_mesh(8, axes=("dp", "rp"))
+    map_cfg = MapConfig(resolution=0.2, world_max_x=6, world_min_x=-6,
+                        world_max_y=6, world_min_y=-6)
+    K = max_ray_cells(map_cfg, 6.0)
+    pg = PoseGraphConfig(max_lm_iters=2, cg_iters=20)
+
+    rng = np.random.default_rng(3)
+    N, R = 8, 16 * int(mesh.shape["rp"])
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    r = rng.uniform(0.3, 5.0, (N, R))
+    points = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang),
+                                   np.zeros_like(r)], axis=-1), jnp.float32)
+    masks = jnp.ones((N, R), bool)
+    odom = jnp.asarray(np.cumsum(rng.normal(0, 0.02, (N, 3)), axis=0),
+                       jnp.float32)
+    logodds = jnp.zeros((map_cfg.width, map_cfg.height), jnp.float32)
+
+    out_s = make_slam_step(mesh, map_cfg, K, IcpConfig(), pg,
+                           map_backend="scatter")(points, masks, odom,
+                                                  logodds)
+    out_r = make_slam_step(mesh, map_cfg, K, IcpConfig(), pg,
+                           map_backend="raywalk")(points, masks, odom,
+                                                  logodds)
+    np.testing.assert_allclose(np.asarray(out_s.poses),
+                               np.asarray(out_r.poses), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_s.logodds),
+                               np.asarray(out_r.logodds), atol=1e-5)
+
+
 def test_transform_scans_to_world():
     from lidar_slam_tpu.ops.scan import transform_scans_to_world
     rng = np.random.default_rng(1)
