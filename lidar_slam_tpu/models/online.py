@@ -24,11 +24,16 @@ TPU-native design:
     mode, which rasterizes with the final refined trajectory.
 
 Optional trajectory refinement: `refine()` runs the offline gtsam
-stage's pose-graph solve over the history accumulated so far (fixed-size
-buffers carried in the state; the first n_max steps are retained),
+stage's pose-graph solve over a SLIDING WINDOW of the history (ring
+buffers carried in the state retain the most recent n_max steps),
 optionally with gated fixed-interval loop closures when the caller
-provides the scan history, returning a smoothed copy of the trajectory
-without touching the causal map.
+provides the window's scans, returning a smoothed copy of the windowed
+trajectory without touching the causal map. Once the stream exceeds
+capacity, the chain before the window is marginalized into a prior: the
+window-head pose is anchored at its online posterior estimate with the
+prior noise model (reference main.py:149-150), so factors that slid out
+keep constraining the window through that anchor instead of being
+silently forgotten.
 """
 
 from __future__ import annotations
@@ -53,19 +58,32 @@ class OnlineState(NamedTuple):
     prev_points: jnp.ndarray  # (P, 3) previous scan (z = 0)
     prev_mask: jnp.ndarray   # (P,)
     step: jnp.ndarray        # () int32 — 0 before the first scan
-    # history ring buffers for refine() (fixed capacity, index = step)
+    # history RING buffers for refine(): slot s % N_max holds step s's pose
+    # and the relative SE(2) from step s-1 to s, so the most recent N_max
+    # steps are always retained (sliding window)
     poses_hist: jnp.ndarray  # (N_max, 3) refined poses
     rel_hist: jnp.ndarray    # (N_max, 3, 3) refined relative SE(2)
 
 
+def default_ray_cells(cfg: SlamConfig, range_max: float = 30.0) -> int:
+    """Per-ray slot budget derived from the map config + sensor range
+    (occupancy.max_ray_cells) — the value online_step/init_state use when
+    K is not given explicitly."""
+    return occupancy.max_ray_cells(cfg.map, range_max)
+
+
 def init_state(first_points: jnp.ndarray, first_mask: jnp.ndarray,
                cfg: SlamConfig = SlamConfig(), n_max: int = 8192,
-               x0: jnp.ndarray | None = None, K: int = 608) -> OnlineState:
+               x0: jnp.ndarray | None = None,
+               K: int | None = None) -> OnlineState:
     """State after observing the FIRST scan at the origin pose.
 
     The first scan is rasterized into the map at pose 0 (the offline
     build_map loops over ALL scans including index 0, reference
-    ogm.py:56)."""
+    ogm.py:56). K=None derives the ray slot budget from cfg
+    (default_ray_cells)."""
+    if K is None:
+        K = default_ray_cells(cfg)
     pts3 = icp_ops.lift_to_3d(jnp.asarray(first_points)).astype(jnp.float32)
     mask = jnp.asarray(first_mask)
     pose0 = (jnp.zeros(3, jnp.float32) if x0 is None
@@ -96,14 +114,18 @@ def online_step(
     points: jnp.ndarray,   # (P, 2) or (P, 3) scan in the robot frame
     mask: jnp.ndarray,     # (P,)
     cfg: SlamConfig = SlamConfig(),
-    K: int = 608,
+    K: int | None = None,
     update_map: bool = True,
 ) -> OnlineState:
     """Advance the online SLAM state by one synchronized sensor tuple.
 
     Same math as the offline stages (module docstring); one fused device
-    program per step, state donated (updated in place).
+    program per step, state donated (updated in place). K=None derives the
+    ray slot budget from cfg (default_ray_cells) — pass the same K used at
+    init_state when overriding.
     """
+    if K is None:
+        K = default_ray_cells(cfg)
     dt = cfg.robot.dt
     pts3 = icp_ops.lift_to_3d(jnp.asarray(points)).astype(jnp.float32)
     mask = jnp.asarray(mask)
@@ -141,11 +163,10 @@ def online_step(
 
     step_new = state.step + 1
     n_max = state.poses_hist.shape[0]
-    # history buffers retain the FIRST n_max steps; past capacity the
-    # write is suppressed (NOT silently overwriting the last slot) so the
-    # stored prefix stays a consistent trajectory for refine()
-    idx = jnp.minimum(step_new, n_max - 1)
-    in_cap = step_new < n_max
+    # ring buffers: slot s % n_max holds step s — the window always covers
+    # the most recent min(step+1, n_max) steps (refine() reconstructs the
+    # chronological order from the step counter)
+    idx = step_new % n_max
     return OnlineState(
         pose=pose_new.astype(jnp.float32),
         odom_pose=odom_new.astype(jnp.float32),
@@ -153,11 +174,15 @@ def online_step(
         prev_points=pts3,
         prev_mask=mask,
         step=step_new,
-        poses_hist=state.poses_hist.at[idx].set(
-            jnp.where(in_cap, pose_new, state.poses_hist[n_max - 1])),
-        rel_hist=state.rel_hist.at[idx - 1].set(
-            jnp.where(in_cap, rel2, state.rel_hist[n_max - 2])),
+        poses_hist=state.poses_hist.at[idx].set(pose_new),
+        rel_hist=state.rel_hist.at[idx].set(rel2),
     )
+
+
+def window_start(state: OnlineState) -> int:
+    """First step index covered by the retained sliding window."""
+    n_max = state.poses_hist.shape[0]
+    return max(0, int(state.step) + 1 - n_max)
 
 
 def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
@@ -165,32 +190,48 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
            scan_masks: jnp.ndarray | None = None,
            max_distance: float = np.inf,
            max_yaw_deg: float = np.inf) -> np.ndarray:
-    """Smooth the trajectory accumulated so far with the pose-graph solve
-    of the offline gtsam stage (reference main.py:148-192).
+    """Smooth the retained trajectory window with the pose-graph solve of
+    the offline gtsam stage (reference main.py:148-192).
 
-    With `scans` (n, P, 2 or 3) + `scan_masks` (n, P) — the caller's own
-    scan history, which the fixed-size state does not retain — gated
+    The ring buffers retain the most recent n = min(step+1, n_max) steps;
+    the returned (n, 3) array covers global steps
+    [window_start(state), state.step]. Past capacity, the evicted chain is
+    MARGINALIZED into the prior: the window-head pose is anchored at its
+    online posterior estimate under the prior noise model (reference
+    main.py:149-150 anchors vertex 0 the same way), so the solve remains a
+    well-posed fixed-gauge problem and the pre-window evidence keeps
+    acting on the window through that anchor.
+
+    With `scans` (>= n, P, 2 or 3) + `scan_masks` — the WINDOW's scans in
+    chronological order (entry i = global step window_start + i; extra
+    leading entries are ignored, the last n are used) — gated
     fixed-interval loop-closure ICPs are added exactly like the offline
     stage (gates default to accept-all; pass the odometry maxima for
-    reference gating). Without scans, between factors only. Returns the
-    refined (min(step+1, n_max), 3) trajectory (history keeps the first
-    n_max steps); the causal map is untouched.
+    reference gating). Without scans, between factors only. The causal map
+    is untouched.
     """
     from ..ops import icp as _icp
     from . import pose_graph
     from .slam import compute_loop_closures, loop_closure_candidates
 
     n_max = state.poses_hist.shape[0]
-    n = min(int(state.step) + 1, n_max)
-    poses = state.poses_hist[:n]
-    rel = state.rel_hist[:n - 1]
+    step = int(state.step)
+    n = min(step + 1, n_max)
+    start = step + 1 - n
+    order = (start + np.arange(n)) % n_max
+    poses = state.poses_hist[order]
+    rel = state.rel_hist[(start + np.arange(1, n)) % n_max]
     interval = cfg.pose_graph.fixed_interval
     if scans is not None and n > interval + 1:
+        if scans.shape[0] < n:
+            raise ValueError(
+                f"refine needs the window's {n} scans (chronological), got "
+                f"{scans.shape[0]}")
         # match the history dtype: under x64 (tests) caller scans can be
         # f64, which would scatter f64 values into the f32 graph arrays
         pts3 = _icp.lift_to_3d(
-            jnp.asarray(scans[:n], state.poses_hist.dtype))
-        masks = jnp.asarray(scan_masks[:n])
+            jnp.asarray(scans[-n:], state.poses_hist.dtype))
+        masks = jnp.asarray(scan_masks[-n:])
         cand = loop_closure_candidates(n, interval)
         loop_T, accept, _, _ = compute_loop_closures(
             pts3, masks, cand, interval, float(max_distance),
@@ -203,9 +244,11 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
         lj = jnp.zeros((0,), jnp.int32)
         lm = jnp.zeros((0, 3, 3), jnp.float32)
         accept = jnp.zeros((0,), bool)
-    # anchor the prior at the trajectory START (reference main.py:149-150
-    # places the prior at vertex 0's initial estimate), not the origin —
-    # an x0 != 0 start must not be snapped back to zero
+    # anchor the prior at the WINDOW HEAD's posterior estimate (reference
+    # main.py:149-150 anchors vertex 0 at its initial estimate) — for a
+    # within-capacity stream that is the trajectory start (an x0 != 0
+    # start must not be snapped back to zero); past capacity it is the
+    # marginalized summary of the evicted chain
     graph = pose_graph.make_graph(
         rel, cfg.pose_graph, prior_pose=poses[0], loop_i=li, loop_j=lj,
         loop_meas=lm, loop_mask=accept)

@@ -47,8 +47,9 @@ def test_online_pose_track_matches_offline_scan_matching():
     np.testing.assert_allclose(track, np.asarray(sm.poses), atol=2e-4)
     np.testing.assert_allclose(np.asarray(st.pose),
                                np.asarray(sm.poses[-1]), atol=2e-4)
-    # relative-pose history matches too
-    np.testing.assert_allclose(np.asarray(st.rel_hist[:N - 1]),
+    # relative-pose history matches too (ring layout: step s's incoming
+    # relative transform lives at slot s)
+    np.testing.assert_allclose(np.asarray(st.rel_hist[1:N]),
                                np.asarray(sm.relative_poses), atol=2e-4)
 
 
@@ -76,24 +77,62 @@ def test_online_refine_smooths_trajectory():
     assert np.abs(refined - track).max() < 0.5
 
 
-def test_online_history_capacity_guard():
-    """Past n_max steps the stored prefix must stay a consistent
-    trajectory (no silent overwrite of the last slot) and refine() must
-    clamp instead of crashing (round-2 review)."""
+def test_online_sliding_window_past_capacity():
+    """Past n_max steps the ring buffers retain the most recent n_max
+    steps; refine() reconstructs the chronological window, anchors its
+    head at the online posterior (the marginalized prior), and returns a
+    smoothed copy covering [window_start, step] (round-3: replaces the
+    round-2 stale-prefix behavior)."""
     counts, gyro, points, masks = _log(3)
-    st = online.init_state(points[0], masks[0], CFG, n_max=8, K=K)
-    tracks = []
+    n_max = 8
+    st = online.init_state(points[0], masks[0], CFG, n_max=n_max, K=K)
+    all_poses = [np.asarray(st.pose)]
     for t in range(1, 20):
         st = online.online_step(st, counts[t], gyro[t], points[t],
                                 masks[t], CFG, K=K)
-        if t == 7:
-            tracks = np.asarray(st.poses_hist).copy()
+        all_poses.append(np.asarray(st.pose))
     assert int(st.step) == 19
-    # the first-8-steps prefix is untouched by the later overflow steps
-    np.testing.assert_array_equal(np.asarray(st.poses_hist), tracks)
+    assert online.window_start(st) == 12  # steps 12..19 retained
+
+    # the stored ring holds exactly the LAST n_max online poses
+    order = (12 + np.arange(n_max)) % n_max
+    window = np.asarray(st.poses_hist)[order]
+    np.testing.assert_allclose(window, np.stack(all_poses[12:]), atol=1e-6)
+
     refined = online.refine(st, CFG)
-    assert refined.shape == (8, 3)
+    assert refined.shape == (n_max, 3)
     assert np.isfinite(refined).all()
+    # head anchored at its posterior estimate (the marginalized prior);
+    # a consistent chain means the window barely moves
+    np.testing.assert_allclose(refined[0], all_poses[12], atol=0.05)
+    assert np.abs(refined - window).max() < 0.5
+
+    # refine with the window's scans (chronological, extra leading entries
+    # ignored) exercises the loop-closure path past capacity
+    CFG_SHORT = CFG  # fixed_interval=10 > window; between factors only
+    refined2 = online.refine(st, CFG_SHORT, scans=points[:20],
+                             scan_masks=masks[:20])
+    assert refined2.shape == (n_max, 3)
+
+
+def test_online_refine_loops_past_capacity():
+    """A window larger than the loop interval, past capacity: refine()
+    adds window-relative fixed-interval loop closures from the caller's
+    (windowed) scans and stays consistent with the stored track."""
+    counts, gyro, points, masks = _log(6)
+    n_max = 24  # > fixed_interval + 1, < N
+    st = online.init_state(points[0], masks[0], CFG, n_max=n_max, K=K)
+    for t in range(1, N):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], CFG, K=K)
+    start = online.window_start(st)
+    assert start == N - n_max
+    refined = online.refine(st, CFG, scans=points[start:],
+                            scan_masks=masks[start:])
+    assert refined.shape == (n_max, 3)
+    order = (start + np.arange(n_max)) % n_max
+    window = np.asarray(st.poses_hist)[order]
+    assert np.abs(refined - window).max() < 0.5
 
 
 def test_online_refine_with_loops_and_x0():
