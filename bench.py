@@ -179,7 +179,9 @@ def main():
     poses.block_until_ready(); grid.block_until_ready()
     elapsed = time.time() - t0
 
-    if os.environ.get("BENCH_STAGES") == "1":
+    stages = {}
+    util = {}
+    if os.environ.get("BENCH_STAGES") != "0":
         # per-stage wall clock on a THIRD seed (the runtime memoizes
         # value-identical computations, so stage timing needs fresh values);
         # the sync after every stage makes the sum slightly exceed e2e
@@ -191,12 +193,13 @@ def main():
         t = time.time()
         poses_odom = odometry.poses_from_odometry(counts, gyro)
         poses_odom.block_until_ready()
-        log(f"stage odometry:      {time.time() - t:.3f}s")
+        stages["odometry_s"] = round(time.time() - t, 3)
         t = time.time()
         sm3 = scan_matching.poses_from_scan_matching(
             poses_odom, points, masks, cfg.icp, chunk_size=chunk)
         sm3.poses.block_until_ready()
-        log(f"stage scan_matching: {time.time() - t:.3f}s "
+        stages["scan_matching_s"] = round(time.time() - t, 3)
+        log(f"stage scan_matching: {stages['scan_matching_s']:.3f}s "
             f"(iters mean {float(jnp.mean(sm3.iters)):.1f} "
             f"p50 {float(jnp.percentile(sm3.iters, 50)):.0f} "
             f"p90 {float(jnp.percentile(sm3.iters, 90)):.0f} "
@@ -206,30 +209,68 @@ def main():
         loop_T, accept3, loop_err, loop_it = compute_loop_closures(
             pts3, masks, cand, 10, max_d, max_y, chunk_size=chunk)
         loop_T.block_until_ready()
-        log(f"stage loop_closures: {time.time() - t:.3f}s "
-            f"(iters mean {float(jnp.mean(loop_it)):.1f} "
-            f"max {int(jnp.max(loop_it))})")
+        stages["loop_closures_s"] = round(time.time() - t, 3)
         t = time.time()
         opt = pose_graph.optimize_trajectory(
             sm3.poses, sm3.relative_poses, jnp.asarray(cand),
             jnp.asarray(cand + 10), loop_T, accept3, cfg.pose_graph)
         opt.poses.block_until_ready()
-        log(f"stage pose_graph:    {time.time() - t:.3f}s")
+        stages["pose_graph_s"] = round(time.time() - t, 3)
         t = time.time()
         grid3 = occupancy.build_logodds(opt.poses, points, masks, cfg.map, K)
         grid3.block_until_ready()
-        log(f"stage map_build:     {time.time() - t:.3f}s")
+        stages["map_build_s"] = round(time.time() - t, 3)
+        for k, v in stages.items():
+            log(f"stage {k}: {v:.3f}s")
+
+        # ---- utilization vs the measured device floors (PERF.md) ----
+        # map walk: tile visits actually executed by the ray-walk kernel
+        # (each = one masked (TS, 128) vector RMW); the round-2 floor is
+        # ~86 ns/visit on the v5e
+        from lidar_slam_tpu.ops.raywalk import visit_descriptors
+        sample = min(64, N_STEPS)
+        desc = jax.vmap(
+            lambda p, pt, m: visit_descriptors(p, pt, m, cfg.map, K)[-1]
+        )(opt.poses[:sample], points[:sample], masks[:sample])
+        visits_per_scan = float(((desc & 1023) < K).sum()) / sample
+        total_visits = visits_per_scan * N_STEPS
+        util["map_visits_per_scan"] = round(visits_per_scan, 1)
+        util["map_ns_per_visit"] = round(
+            stages["map_build_s"] * 1e9 / total_visits, 1)
+        util["map_visits_per_s"] = round(total_visits
+                                         / stages["map_build_s"])
+
+        # scan matching: executed chunk-iterations under the phased-resort
+        # schedule = sum over depths t of ceil(live_t / chunk); per-pass
+        # cost vs the ~1.08 ms VPU-elementwise floor of one 64x1081x1081
+        # NN+Kabsch pass (PERF.md round-2 measurement)
+        iters = np.asarray(sm3.iters)
+        executed = int(sum(int(np.ceil((iters > t).sum() / chunk))
+                           for t in range(int(iters.max()))))
+        util["sm_chunk_iters_executed"] = executed
+        util["sm_ms_per_chunk_iter"] = round(
+            stages["scan_matching_s"] * 1e3 / max(executed, 1), 3)
+
+        # pose graph: whole-solve wall clock and LM iterations
+        util["lm_solve_ms"] = round(stages["pose_graph_s"] * 1e3, 1)
+        util["lm_iterations"] = int(opt.iterations)
 
     pairs_per_s = (N_STEPS - 1) / elapsed  # headline convenience numbers
     log(f"e2e {elapsed:.2f}s | {pairs_per_s:.0f} scan-pairs/s equivalent | "
         f"speedup vs reference CPU {BASELINE_SECONDS / elapsed:.1f}x")
+    if util:
+        log(f"utilization: {util}")
 
-    print(json.dumps({
+    out = {
         "metric": "dataset20_slam_e2e_seconds",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 2),
-    }))
+    }
+    if stages:
+        out["stages"] = stages
+        out["util"] = util
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
