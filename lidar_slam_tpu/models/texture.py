@@ -73,7 +73,7 @@ def get_rgbi_rgbj(i, j, dd, cfg: CameraConfig = CameraConfig()):
 
 @partial(jax.jit, static_argnames=("map_cfg", "cam_cfg"))
 def frames_to_cells(
-    disparity: jnp.ndarray,  # (B, H, W) float32
+    disparity: jnp.ndarray,  # (B, H, W) float32 or uint16 (raw sensor)
     rgb: jnp.ndarray,  # (B, H, W, 3) uint8
     poses: jnp.ndarray,  # (B, 3) robot pose per frame
     map_cfg: MapConfig,
@@ -87,7 +87,14 @@ def frames_to_cells(
     write order. Colors stay packed (and on device) until the final
     compose: uint8 gathers lower pathologically on TPU (measured 85 s vs
     2.6 s for one int32 gather at 8 x 480 x 640).
+
+    Integer disparity (the sensor's native uint16) converts to f32 ON
+    DEVICE — the host uploads half the bytes, and the tunnel upload is the
+    stage's dominant cost (uint16 values < 2^24, so the cast is exact and
+    the result equals the host-float path bit-for-bit).
     """
+    if not jnp.issubdtype(disparity.dtype, jnp.floating):
+        disparity = disparity.astype(jnp.float32)
     K, T_rc, R_oc = camera_matrices(cam_cfg)
     Kinv = jnp.asarray(np.linalg.inv(K), disparity.dtype)
     # camera <- optical is inv(T_oc) where T_oc rotates by R_oc
@@ -181,26 +188,49 @@ def generate_texture_map(
     synthetic injection in tests).
 
     Returns (W, H, 3) float32 texture (reference: texture_mapping.py:98).
+
+    The batch loop is DOUBLE-BUFFERED: a background thread decodes and
+    uploads batch s+1 (jax.device_put is async) while the device computes
+    batch s — on the tunneled device the host->device upload is the
+    stage's dominant cost and previously ran fully serialized with
+    compute. Integer disparity from the loader is uploaded raw (uint16,
+    half the bytes) and converted on device (frames_to_cells).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     W, Hn = map_cfg.width, map_cfg.height
     winner = jnp.full((W * Hn,), -1, dtype=jnp.int32)
     cell_color = jnp.zeros((W * Hn,), jnp.int32)
     base = 0
     F = len(rgb_pose_indices)
-    for s in range(0, F, batch_size):
+    starts = list(range(0, F, batch_size))
+
+    def prep(s):
         ids = np.arange(s, min(s + batch_size, F))
         disp, rgb = load_frame_batch(ids)
-        lin, colors, ok = frames_to_cells(
-            jnp.asarray(disp, dtype), jnp.asarray(rgb),
-            jnp.asarray(poses[rgb_pose_indices[ids]], dtype),
-            map_cfg, cam_cfg)
-        # per-batch colors fold into the per-CELL array ON DEVICE; only
-        # the final composed texture crosses back to the host (per-batch
-        # color downloads dominated the stage wall on the tunneled device,
-        # and keeping every point color would cost ~3 GB at full scale)
-        winner, cell_color = paint_cells(winner, cell_color, lin, colors,
-                                         jnp.int32(base))
-        base += int(lin.shape[0])
+        # keep integer disparity integer: the device casts (exactly)
+        if not np.issubdtype(disp.dtype, np.integer):
+            disp = np.asarray(disp, dtype)
+        return (jax.device_put(disp), jax.device_put(np.asarray(rgb)),
+                jax.device_put(np.asarray(poses[rgb_pose_indices[ids]],
+                                          dtype)))
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(prep, starts[0]) if starts else None
+        for i, s in enumerate(starts):
+            disp_d, rgb_d, poses_d = fut.result()
+            if i + 1 < len(starts):
+                fut = ex.submit(prep, starts[i + 1])
+            lin, colors, ok = frames_to_cells(disp_d, rgb_d, poses_d,
+                                              map_cfg, cam_cfg)
+            # per-batch colors fold into the per-CELL array ON DEVICE;
+            # only the final composed texture crosses back to the host
+            # (per-batch color downloads dominated the stage wall on the
+            # tunneled device, and keeping every point color would cost
+            # ~3 GB at full scale)
+            winner, cell_color = paint_cells(winner, cell_color, lin,
+                                             colors, jnp.int32(base))
+            base += int(lin.shape[0])
 
     # int32 on device: uint8 arrays hit pathological TPU lowerings
     grid_dev = jnp.asarray(np.asarray(grid_map).astype(np.int32))
@@ -253,6 +283,8 @@ def disk_frame_loader(dataset_num: int, disp_for_rgb: np.ndarray,
         else:
             disp = np.stack([read_png(p) for p in dpaths])
             rgb = np.stack([read_png(p) for p in rpaths])
-        return disp.astype(np.float32), rgb
+        # raw uint16 disparity: half the host->device bytes of float32;
+        # the device converts exactly (frames_to_cells)
+        return disp, rgb
 
     return load

@@ -409,8 +409,8 @@ def _resolve_version(cfg: MapConfig, K: int, version: int) -> int:
         bits (non-negative int32 => <= 127 tiles)
     """
     Wp, Hp = _padded_dims(cfg)
-    if version == 2 and not (K <= _NCROSS * TS and Wp <= 127 * TS
-                             and Hp <= 16 * _LANES):
+    if version in (2, 3) and not (K <= _NCROSS * TS and Wp <= 127 * TS
+                                  and Hp <= 16 * _LANES):
         return 1
     return version
 
@@ -422,7 +422,10 @@ def _make_call(n_rays: int, cfg: MapConfig, interpret: bool, version: int,
     vma: set of shard_map axis names the output varies over (required when
     calling from inside a shard_map with check_vma)."""
     Wp, Hp = _padded_dims(cfg)
-    if version == 2:
+    if version == 3:
+        kernel = _make_kernel_v3(n_rays, cfg.logodds_ratio, clip)
+        n_prefetch, describe = 11, visit_descriptors
+    elif version == 2:
         kernel = _make_kernel_v2(n_rays, cfg.logodds_ratio, clip)
         n_prefetch, describe = 11, visit_descriptors
     else:
@@ -453,7 +456,7 @@ def scan_delta_raywalk(
     cfg: MapConfig,
     K: int,
     interpret: bool = False,
-    version: int = 2,
+    version: int = 3,
     axis_name: str | None = None,
 ) -> jnp.ndarray:
     """One scan's UNCLIPPED log-odds delta via the ray-walk kernel.
@@ -483,6 +486,112 @@ def scan_delta_raywalk(
     return delta[:cfg.width, :cfg.height]
 
 
+# ---------------------------------------------------------------------------
+# v3: affine on-ray test (no per-visit division).
+#
+# v2's per-visit vector chain reconstructs the Bresenham minor coordinate
+# with a floor division per lane (f32 quotient + integer repair, ~10 vector
+# ops) and compares it against the tile's row iota. v3 removes the division
+# entirely: a cell (driver position d, other position o) lies on the ray iff
+#
+#   m(k) == m_cand  where  k = sgM*(tb_major + d - sM),
+#                          m_cand = sgm*(tb_oth + o - sm)
+#   ⟺  0 <= k*dm + c - m_cand*dM < dM
+#
+# and the middle expression is AFFINE in the two tile iotas:
+#
+#   val(d, o) = C + ca*d + cb*o,   ca = sgM*dm,  cb = -sgm*dM  (per-ray)
+#   C = c + ca*(tb_major - sM) + cb*(tb_oth - sm)              (per-visit
+#                                                               SCALAR)
+#
+# so the kernel hoists V0 = ca*DR + cb*OT once per ray (DR/OT = the iota
+# carrying the driver/other axis for this ray's orientation) and each visit
+# is one scalar broadcast add + compares:
+#
+#   val = V0 + C;  on_ray = (0 <= val) & (val < dM)
+#   in_span = (d_lo <= DR) & (DR <= d_hi)    d_lo/d_hi/d_end = driver-axis
+#   delta = where(on_ray & in_span,          positions of k0/k1-1/k_out,
+#                 where(DR == d_end, +log4, -log4), 0)   computed on the
+#   tile += delta                                        SCALAR core
+#
+# ~15 vector ops per visit vs v2's ~29, exact integer arithmetic (operands
+# < 2^22), bit-identical maps. Same packed visit descriptors as v2.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_v3(n_rays: int, log4: float, clip: float | None):
+    log4 = float(log4)
+    clip = None if clip is None else float(clip)
+
+    def kernel(steep_ref, sM_ref, sm_ref, sgM_ref, sgm_ref, dM_ref,
+               dm_ref, c_ref, kin_ref, kout_ref, desc_ref,
+               grid_in_ref, grid_ref):
+        del grid_in_ref, kin_ref  # aliased with grid_ref; k_in is desc[0]
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 1)
+
+        def ray_body(r, _):
+            steep = steep_ref[r]
+            sM = sM_ref[r]
+            sm = sm_ref[r]
+            sgM = sgM_ref[r]
+            sgm = sgm_ref[r]
+            dM = jnp.maximum(dM_ref[r], 1)
+            dm = dm_ref[r]
+            c = c_ref[r]
+            k_out = kout_ref[r]
+            stp = steep == 1
+            ca = sgM * dm
+            cb = -sgm * dM
+            # per-ray hoists: driver-axis iota and the affine iota term
+            DR = jnp.where(stp, l_iota, s_iota)
+            V0 = ca * DR + cb * jnp.where(stp, s_iota, l_iota)
+
+            def visit(carry):
+                vn, d = carry
+                k0 = d & 1023
+                k1 = (d >> 10) & 1023
+                lt = ((d >> 20) & 15) * _LANES
+                rt = (d >> 24) * TS
+                tb_major = jnp.where(stp, lt, rt)
+                tb_oth = jnp.where(stp, rt, lt)
+                # per-visit scalars (scalar core; off the vector path)
+                C = c + ca * (tb_major - sM) + cb * (tb_oth - sm)
+                base = sM - tb_major
+                # driver-axis span of the half-open slot interval [k0, k1):
+                # select ends BY SIGN (not min/max) so an empty visit
+                # (k1 == k0, from coincident boundary crossings in the
+                # sorted descriptor list) yields d_lo > d_hi and masks out
+                p0 = base + sgM * k0
+                p1 = base + sgM * (k1 - 1)
+                pos = sgM > 0
+                d_lo = jnp.where(pos, p0, p1)
+                d_hi = jnp.where(pos, p1, p0)
+                d_end = base + sgM * k_out
+
+                val = V0 + C
+                mk = ((val >= 0) & (val < dM)
+                      & (DR >= d_lo) & (DR <= d_hi))
+                delta = jnp.where(
+                    mk, jnp.where(DR == d_end, log4, -log4), 0.0)
+                rts = pl.multiple_of(rt, TS)
+                lts = pl.multiple_of(lt, _LANES)
+                tile = grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)]
+                grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)] = tile + delta
+                return vn + 1, desc_ref[r, vn]
+
+            jax.lax.while_loop(lambda cv: (cv[1] & 1023) <= k_out, visit,
+                               (jnp.int32(1), desc_ref[r, 0]))
+            return 0
+
+        jax.lax.fori_loop(0, n_rays, ray_body, 0)
+        if clip is not None:
+            # per-scan clip (reference ogm.py:188), fused before writeback
+            grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
+
+    return kernel
+
+
 @partial(jax.jit, static_argnames=("cfg", "K", "interpret", "version"))
 def build_logodds_raywalk(
     poses: jnp.ndarray,
@@ -492,7 +601,7 @@ def build_logodds_raywalk(
     K: int,
     init: jnp.ndarray | None = None,
     interpret: bool = False,
-    version: int = 2,
+    version: int = 3,
 ) -> jnp.ndarray:
     """Full map build with the ray-walk kernel: lax.scan over scans, each
     step one pallas_call on the padded grid (reference ogm.py:45-59).

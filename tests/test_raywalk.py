@@ -129,6 +129,40 @@ def test_raywalk_v1_matches_v2():
     assert (g2 != 0).sum() > 500
 
 
+def test_raywalk_v3_matches_v2():
+    """v3's affine on-ray test (no per-visit division) must reproduce v2
+    exactly — same visits, same cells, same accumulation order — including
+    the degenerate empty visits (k1 == k0 from coincident boundary
+    crossings) that a naive min/max span would mis-handle."""
+    poses, pts, masks = _adversarial_scans(seed=7, n=8, r=96)
+    g2 = np.asarray(build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                          interpret=True, version=2))
+    g3 = np.asarray(build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                          interpret=True, version=3))
+    np.testing.assert_array_equal(g2, g3)
+    assert (g3 != 0).sum() > 500
+
+    # dataset-shaped config (the empty-visit repro regime: deep slot
+    # counts produce coincident major/minor crossings)
+    cfg = MapConfig(resolution=0.05, world_max_x=30, world_min_x=-30,
+                    world_max_y=30, world_min_y=-30)
+    k = max_ray_cells(cfg, 30.0)
+    rng = np.random.default_rng(1)
+    n, r = 4, 256
+    ang = rng.uniform(-np.pi, np.pi, (n, r))
+    rad = rng.uniform(0.3, 29.5, (n, r))
+    pts = jnp.asarray(np.stack([rad * np.cos(ang), rad * np.sin(ang)],
+                               axis=-1), jnp.float32)
+    masks = jnp.asarray(rng.random((n, r)) > 0.1)
+    poses = jnp.asarray(np.cumsum(rng.normal(0, 0.1, (n, 3)), 0),
+                        jnp.float32)
+    g_sc = np.asarray(build_logodds(poses, pts, masks, cfg, k,
+                                    backend="scatter"))
+    g3 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
+                                          interpret=True, version=3))
+    np.testing.assert_array_equal(g_sc, g3)
+
+
 def test_large_k_falls_back_and_stays_exact():
     """K beyond the v2 visit-crossing capacity (_NCROSS * TS) must fall
     back to v1 and still produce the exact map — the round-2 review found

@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--decode-frames", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--float32-disp", action="store_true",
+                    help="measure the legacy float32-upload path")
     args = ap.parse_args()
 
     import jax
@@ -37,25 +40,29 @@ def main():
     H, W = 480, 640
     rng = np.random.default_rng(0)
 
-    def synth_frames(seed, n):
+    def synth_frames(seed, n, disp_dtype=np.uint16):
         r = np.random.default_rng(seed)
-        disp = r.uniform(300, 900, (n, H, W)).astype(np.float32)
+        disp = r.uniform(300, 900, (n, H, W)).astype(disp_dtype)
         rgb = r.integers(0, 255, (n, H, W, 3), dtype=np.uint8)
         return disp, rgb
 
     # --- compute path (loader injected, frames pre-generated) ---
+    # uint16 disparity = the production disk-loader contract (raw sensor
+    # upload, device-side conversion); --float32-disp measures the old path
     F = args.frames
+    disp_dtype = np.float32 if args.float32_disp else np.uint16
     poses = rng.normal(0, 0.5, (F, 3)).astype(np.float32)
     grid_map = np.zeros((cfg.map.width, cfg.map.height), np.uint8)
-    for seed, label in ((1, "warm-up"), (2, "timed")):
-        disp, rgb = synth_frames(seed, F)
+    for seed, label in ((1, "warm-up"), (2, "timed"), (4, "timed2")):
+        disp, rgb = synth_frames(seed, F, disp_dtype)
         loader = lambda ids: (disp[ids], rgb[ids])
         t0 = time.time()
         tex = texture.generate_texture_map(
             poses, np.arange(F), np.arange(F), grid_map, loader,
-            cfg.map, cfg.camera, batch_size=8)
+            cfg.map, cfg.camera, batch_size=args.batch)
         dt = time.time() - t0
-        print(f"compute {label}: {F} frames in {dt:.2f}s "
+        print(f"compute {label} [{np.dtype(disp_dtype).name} disp, "
+              f"batch {args.batch}]: {F} frames in {dt:.2f}s "
               f"({dt / F * 1e3:.1f} ms/frame)", file=sys.stderr)
     per_frame = dt / F
     print(f"extrapolated dataset-20 compute (2,407 frames): "
