@@ -409,8 +409,8 @@ def _resolve_version(cfg: MapConfig, K: int, version: int) -> int:
         bits (non-negative int32 => <= 127 tiles)
     """
     Wp, Hp = _padded_dims(cfg)
-    if version in (2, 3) and not (K <= _NCROSS * TS and Wp <= 127 * TS
-                                  and Hp <= 16 * _LANES):
+    if version in (2, 3, 4) and not (K <= _NCROSS * TS and Wp <= 127 * TS
+                                     and Hp <= 16 * _LANES):
         return 1
     return version
 
@@ -422,8 +422,10 @@ def _make_call(n_rays: int, cfg: MapConfig, interpret: bool, version: int,
     vma: set of shard_map axis names the output varies over (required when
     calling from inside a shard_map with check_vma)."""
     Wp, Hp = _padded_dims(cfg)
-    if version == 3:
-        kernel = _make_kernel_v3(n_rays, cfg.logodds_ratio, clip)
+    if version in (3, 4):
+        # 4 = v3 with signed compares (kept for A/B; measured 8% slower)
+        kernel = _make_kernel_v3(n_rays, cfg.logodds_ratio, clip,
+                                 unsigned_cmp=version == 3)
         n_prefetch, describe = 11, visit_descriptors
     elif version == 2:
         kernel = _make_kernel_v2(n_rays, cfg.logodds_ratio, clip)
@@ -515,11 +517,15 @@ def scan_delta_raywalk(
 #   tile += delta                                        SCALAR core
 #
 # ~15 vector ops per visit vs v2's ~29, exact integer arithmetic (operands
-# < 2^22), bit-identical maps. Same packed visit descriptors as v2.
+# < 2^22), bit-identical maps. Same packed visit descriptors as v2. Both
+# range tests further fold to ONE unsigned compare each (negatives wrap
+# high; empty visits route d_lo out of range) — measured another 8% on the
+# v5e (version=4 keeps the signed variant for A/B).
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel_v3(n_rays: int, log4: float, clip: float | None):
+def _make_kernel_v3(n_rays: int, log4: float, clip: float | None,
+                    unsigned_cmp: bool = True):
     log4 = float(log4)
     clip = None if clip is None else float(clip)
 
@@ -546,6 +552,7 @@ def _make_kernel_v3(n_rays: int, log4: float, clip: float | None):
             # per-ray hoists: driver-axis iota and the affine iota term
             DR = jnp.where(stp, l_iota, s_iota)
             V0 = ca * DR + cb * jnp.where(stp, s_iota, l_iota)
+            DRu = DR.astype(jnp.uint32)
 
             def visit(carry):
                 vn, d = carry
@@ -570,8 +577,20 @@ def _make_kernel_v3(n_rays: int, log4: float, clip: float | None):
                 d_end = base + sgM * k_out
 
                 val = V0 + C
-                mk = ((val >= 0) & (val < dM)
-                      & (DR >= d_lo) & (DR <= d_hi))
+                if unsigned_cmp:
+                    # 0 <= val < dM as ONE unsigned compare (negatives wrap
+                    # high); driver span likewise, with the empty case
+                    # (span < 0) routed to an out-of-range d_lo so the
+                    # unsigned test is always false (DR <= 127 << 1000)
+                    span = d_hi - d_lo
+                    empty = span < 0
+                    d_lo_s = jnp.where(empty, 1000, d_lo)
+                    span_u = jnp.where(empty, 0, span).astype(jnp.uint32)
+                    mk = ((val.astype(jnp.uint32) < dM.astype(jnp.uint32))
+                          & ((DRu - d_lo_s.astype(jnp.uint32)) <= span_u))
+                else:
+                    mk = ((val >= 0) & (val < dM)
+                          & (DR >= d_lo) & (DR <= d_hi))
                 delta = jnp.where(
                     mk, jnp.where(DR == d_end, log4, -log4), 0.0)
                 rts = pl.multiple_of(rt, TS)
