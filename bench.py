@@ -176,7 +176,9 @@ def main():
     log("timed run (fresh data)...")
     t0 = time.time()
     poses, grid, sm, accept = pipeline(timed)
-    poses.block_until_ready(); grid.block_until_ready()
+    # np.asarray fetch, not block_until_ready alone: the latter can return
+    # before real execution on the tunneled device (CLAUDE.md trap)
+    np.asarray(poses[:1]); np.asarray(grid[:2, :2])
     elapsed = time.time() - t0
 
     stages = {}
@@ -192,12 +194,12 @@ def main():
         jax.block_until_ready((counts, gyro, points, masks, pts3))
         t = time.time()
         poses_odom = odometry.poses_from_odometry(counts, gyro)
-        poses_odom.block_until_ready()
+        np.asarray(poses_odom[:1])  # real fetch closes each stage timer
         stages["odometry_s"] = round(time.time() - t, 3)
         t = time.time()
         sm3 = scan_matching.poses_from_scan_matching(
             poses_odom, points, masks, cfg.icp, chunk_size=chunk)
-        sm3.poses.block_until_ready()
+        np.asarray(sm3.poses[:1])
         stages["scan_matching_s"] = round(time.time() - t, 3)
         log(f"stage scan_matching: {stages['scan_matching_s']:.3f}s "
             f"(iters mean {float(jnp.mean(sm3.iters)):.1f} "
@@ -208,17 +210,17 @@ def main():
         max_d, max_y = odometry.max_step_gates(counts, gyro)
         loop_T, accept3, loop_err, loop_it = compute_loop_closures(
             pts3, masks, cand, 10, max_d, max_y, chunk_size=chunk)
-        loop_T.block_until_ready()
+        np.asarray(loop_T[:1])
         stages["loop_closures_s"] = round(time.time() - t, 3)
         t = time.time()
         opt = pose_graph.optimize_trajectory(
             sm3.poses, sm3.relative_poses, jnp.asarray(cand),
             jnp.asarray(cand + 10), loop_T, accept3, cfg.pose_graph)
-        opt.poses.block_until_ready()
+        np.asarray(opt.poses[:1])
         stages["pose_graph_s"] = round(time.time() - t, 3)
         t = time.time()
         grid3 = occupancy.build_logodds(opt.poses, points, masks, cfg.map, K)
-        grid3.block_until_ready()
+        np.asarray(grid3[:2, :2])
         stages["map_build_s"] = round(time.time() - t, 3)
         for k, v in stages.items():
             log(f"stage {k}: {v:.3f}s")

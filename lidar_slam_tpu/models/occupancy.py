@@ -204,6 +204,16 @@ def update_map(
     return jnp.clip(new, -cfg.logodds_clip, cfg.logodds_clip)
 
 
+def resolve_map_backend(backend: str) -> str:
+    """The per-scan map engine dispatch rule, shared by the single-chip
+    build (below) and the sharded builders (parallel/sharding.py,
+    parallel/superstep.py): "auto" = the Pallas ray-walk kernel on TPU,
+    the compacted scatter elsewhere."""
+    if backend == "auto":
+        return "raywalk" if jax.default_backend() == "tpu" else "scatter"
+    return backend
+
+
 @partial(jax.jit, static_argnames=("cfg", "K", "compact", "backend"))
 def build_logodds(
     poses: jnp.ndarray,
@@ -229,8 +239,7 @@ def build_logodds(
         compact=False is the plain dense scatter;
       - "auto": raywalk on TPU, scatter elsewhere.
     """
-    if backend == "auto":
-        backend = "raywalk" if jax.default_backend() == "tpu" else "scatter"
+    backend = resolve_map_backend(backend)
     if backend == "raywalk":
         from ..ops.raywalk import build_logodds_raywalk
         return build_logodds_raywalk(

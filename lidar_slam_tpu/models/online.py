@@ -223,10 +223,13 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
     rel = state.rel_hist[(start + np.arange(1, n)) % n_max]
     interval = cfg.pose_graph.fixed_interval
     if scans is not None and n > interval + 1:
-        if scans.shape[0] < n:
+        if scan_masks is None:
+            raise ValueError("refine: scans given without scan_masks")
+        if scans.shape[0] < n or scan_masks.shape[0] < n:
             raise ValueError(
-                f"refine needs the window's {n} scans (chronological), got "
-                f"{scans.shape[0]}")
+                f"refine needs the window's {n} scans+masks "
+                f"(chronological), got {scans.shape[0]} scans / "
+                f"{scan_masks.shape[0]} masks")
         # match the history dtype: under x64 (tests) caller scans can be
         # f64, which would scatter f64 values into the f32 graph arrays
         pts3 = _icp.lift_to_3d(

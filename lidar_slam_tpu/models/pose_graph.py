@@ -337,10 +337,13 @@ def optimize(
         import numpy as np
         if not (isinstance(graph.loop_i, jax.core.Tracer)
                 or isinstance(graph.loop_j, jax.core.Tracer)):
+            # signed span: the banded assembly assumes loop_i < loop_j
+            # (off-diagonal blocks live in the lower triangle), so any
+            # REVERSED arc — not just wide ones — must fall back too
             span = np.asarray(graph.loop_j) - np.asarray(graph.loop_i)
             if not isinstance(graph.loop_mask, jax.core.Tracer):
                 span = span[np.asarray(graph.loop_mask).astype(bool)]
-            if span.size and int(span.max()) > band:
+            if span.size and (int(span.max()) > band or int(span.min()) < 0):
                 solver = "direct"
     return _optimize_jit(poses0, graph, max_iters=max_iters,
                          lambda_init=lambda_init, lambda_up=lambda_up,

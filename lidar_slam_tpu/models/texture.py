@@ -208,8 +208,12 @@ def generate_texture_map(
     def prep(s):
         ids = np.arange(s, min(s + batch_size, F))
         disp, rgb = load_frame_batch(ids)
-        # keep integer disparity integer: the device casts (exactly)
-        if not np.issubdtype(disp.dtype, np.integer):
+        # keep integer disparity integer (half the upload bytes; the
+        # device casts to f32 exactly) — UNLESS the caller asked for a
+        # different compute dtype (e.g. the f64 oracle validation path),
+        # which frames_to_cells must honor
+        if not (np.issubdtype(disp.dtype, np.integer)
+                and jnp.dtype(dtype) == jnp.float32):
             disp = np.asarray(disp, dtype)
         return (jax.device_put(disp), jax.device_put(np.asarray(rgb)),
                 jax.device_put(np.asarray(poses[rgb_pose_indices[ids]],

@@ -416,11 +416,8 @@ def _resolve_version(cfg: MapConfig, K: int, version: int) -> int:
 
 
 def _make_call(n_rays: int, cfg: MapConfig, interpret: bool, version: int,
-               clip: float | None, vma=None):
-    """Build the (pallas_call, describe_fn) pair for one scan's walk.
-
-    vma: set of shard_map axis names the output varies over (required when
-    calling from inside a shard_map with check_vma)."""
+               clip: float | None):
+    """Build the (pallas_call, describe_fn) pair for one scan's walk."""
     Wp, Hp = _padded_dims(cfg)
     if version in (3, 4):
         # 4 = v3 with signed compares (kept for A/B; measured 8% slower)
@@ -439,12 +436,10 @@ def _make_call(n_rays: int, cfg: MapConfig, interpret: bool, version: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    out_shape = (jax.ShapeDtypeStruct((Wp, Hp), jnp.float32) if vma is None
-                 else jax.ShapeDtypeStruct((Wp, Hp), jnp.float32, vma=vma))
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((Wp, Hp), jnp.float32),
         input_output_aliases={n_prefetch: 0},
         interpret=interpret,
     )
@@ -459,7 +454,6 @@ def scan_delta_raywalk(
     K: int,
     interpret: bool = False,
     version: int = 3,
-    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """One scan's UNCLIPPED log-odds delta via the ray-walk kernel.
 
@@ -468,23 +462,17 @@ def scan_delta_raywalk(
     psums across ray shards before applying the reference's per-scan clip
     (modules/ogm.py:188) to the carried grid. Equal to the scatter-path
     delta (occupancy.scan_logodds_delta summed into a zero grid) up to
-    float accumulation order.
-
-    axis_name: when called inside a shard_map over that mesh axis (points/
-    mask holding this device's ray shard), marks the delta as varying over
-    it so the caller can psum.
+    float accumulation order. Callers inside a shard_map run with
+    check_vma=False (parallel/sharding.py): pallas cannot produce
+    varying-marked outputs through the interpret path.
     """
     version = _resolve_version(cfg, K, version)
-    vma = None if axis_name is None else frozenset({axis_name})
     # points is ONE scan (R, 2) here — ray count is axis 0
     call, describe = _make_call(int(points.shape[0]), cfg, interpret,
-                                version, clip=None, vma=vma)
+                                version, clip=None)
     Wp, Hp = _padded_dims(cfg)
-    zeros = jnp.zeros((Wp, Hp), jnp.float32)
-    if axis_name is not None:
-        zeros = jax.lax.pcast(zeros, axis_name, to="varying")
     desc = describe(pose, points, mask, cfg, K)
-    delta = call(*desc, zeros)
+    delta = call(*desc, jnp.zeros((Wp, Hp), jnp.float32))
     return delta[:cfg.width, :cfg.height]
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MapConfig
-from ..models.occupancy import _compact_scan_update
+from ..models.occupancy import _compact_scan_update, resolve_map_backend
 from ..ops.icp import run_icp_batch
 from ..ops.raywalk import scan_delta_raywalk
 
@@ -48,15 +48,6 @@ def sharded_icp_batch(mesh: Mesh, axis: str = "dp"):
         return run_icp_batch(src, tgt, src_mask, tgt_mask, init_T, **kw)
 
     return fn
-
-
-def resolve_map_backend(backend: str) -> str:
-    """The single-chip pipeline's engine dispatch rule
-    (occupancy.build_logodds): the Pallas ray-walk kernel on TPU, the
-    compacted scatter elsewhere."""
-    if backend == "auto":
-        return "raywalk" if jax.default_backend() == "tpu" else "scatter"
-    return backend
 
 
 def sharded_build_logodds(mesh: Mesh, cfg: MapConfig, K: int,

@@ -50,7 +50,7 @@ def make_slam_step(mesh: Mesh, map_cfg: MapConfig, K: int,
     the Pallas ray-walk kernel on TPU, compacted scatter elsewhere) so the
     multi-chip step exercises the engine the single-chip pipeline ships.
     """
-    from .sharding import resolve_map_backend
+    from ..models.occupancy import resolve_map_backend
 
     map_backend = resolve_map_backend(map_backend)
     dp = NamedSharding(mesh, P("dp"))

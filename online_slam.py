@@ -66,7 +66,8 @@ def main(argv=None):
     if args.synthetic:
         data = io_utils.synthetic_dataset(n_steps=args.synthetic, seed=0)
     else:
-        data = io_utils.load_data(args.dataset, args.dataset_path)
+        data = io_utils.load_data(args.dataset,
+                                  data_folder=args.dataset_path)
         from lidar_slam_tpu import sensors as sensors_mod
         enc = sensors_mod.Encoder.from_data(data["encoder"])
         imu = sensors_mod.Imu.from_data(data["imu"])
@@ -100,7 +101,11 @@ def main(argv=None):
         st = online.init_state(points[0], masks[0], cfg,
                                n_max=args.window, K=K)
 
-    track = []
+    # track row i = pose of global step (start - 1 + i): includes the
+    # pre-loop pose so a fresh run covers step 0; a resumed run covers
+    # [resume step, n) — the printed start index disambiguates
+    track = [np.asarray(st.pose)]
+    print(f"pose track starts at step {start - 1}", file=sys.stderr)
     t0 = time.time()
     for t in range(start, n):
         st = online.online_step(st, counts[t], gyro[t], points[t],

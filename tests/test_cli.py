@@ -8,15 +8,15 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, cwd):
+def _run(args, cwd, script="main.py"):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     # the axon sitecustomize pins the TPU platform at interpreter startup,
     # so the subprocess must re-select cpu via jax.config (see conftest)
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "import sys; sys.argv = ['main.py'] + %r;"
-        "exec(open(%r).read())" % (args, os.path.join(REPO, "main.py"))
+        "import sys; sys.argv = [%r] + %r;"
+        "exec(open(%r).read())" % (script, args, os.path.join(REPO, script))
     )
     return subprocess.run([sys.executable, "-c", code], cwd=cwd,
                           capture_output=True, text=True, env=env,
@@ -53,3 +53,43 @@ def test_cli_missing_dataset_errors(tmp_path):
     r = _run(["--dataset_path", "/nonexistent/"], cwd=str(tmp_path))
     assert r.returncode != 0
     assert "Data folder does not exist" in (r.stderr + r.stdout)
+
+
+@pytest.mark.slow
+def test_online_cli_synthetic_checkpoint_resume(tmp_path):
+    """online_slam.py streams, checkpoints, and resumes; track covers
+    step 0 (round-3 review)."""
+    ck = str(tmp_path / "ck.npz")
+    r = _run(["--synthetic", "40", "--res", "0.2", "--width", "16",
+              "--height", "16", "--window", "24", "--checkpoint", ck,
+              "--map_path", str(tmp_path / "m.png"),
+              "--poses_path", str(tmp_path / "p.npy")],
+             cwd=str(tmp_path), script="online_slam.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    track = np.load(tmp_path / "p.npy")
+    assert track.shape == (40, 3)  # includes step 0
+    assert (tmp_path / "m.png").exists()
+    r2 = _run(["--synthetic", "40", "--res", "0.2", "--width", "16",
+               "--height", "16", "--window", "24", "--checkpoint", ck,
+               "--resume", "--map_path", str(tmp_path / "m2.png")],
+              cwd=str(tmp_path), script="online_slam.py")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from" in r2.stderr
+
+
+@pytest.mark.slow
+def test_online_cli_dataset_mode(tmp_path):
+    """The real-data branch of online_slam.py loads a fabricated on-disk
+    dataset (round-3 review: load_data was called with the path in the
+    dataset_names slot and crashed)."""
+    from test_driver_oracle import _write_dataset
+
+    data_dir = str(tmp_path / "data")
+    _write_dataset(data_dir, n_steps=30, n_rays=181)
+    r = _run(["--dataset", "20", "--dataset_path", data_dir,
+              "--res", "0.2", "--width", "16", "--height", "16",
+              "--map_path", str(tmp_path / "m.png")],
+             cwd=str(tmp_path), script="online_slam.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "streamed" in r.stderr
+    assert (tmp_path / "m.png").exists()

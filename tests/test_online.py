@@ -153,6 +153,24 @@ def test_online_refine_with_loops_and_x0():
     assert np.abs(refined - track).max() < 0.5
 
 
+def test_online_refine_validates_scan_inputs():
+    """refine() with scans must reject a missing/short scan_masks with a
+    clear error instead of an opaque downstream failure (round-3 review)."""
+    import pytest
+
+    counts, gyro, points, masks = _log(7)
+    st = online.init_state(points[0], masks[0], CFG, n_max=64, K=K)
+    for t in range(1, N):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], CFG, K=K)
+    with pytest.raises(ValueError, match="scan_masks"):
+        online.refine(st, CFG, scans=points)
+    with pytest.raises(ValueError, match="scans"):
+        online.refine(st, CFG, scans=points[:5], scan_masks=masks[:5])
+    with pytest.raises(ValueError, match="masks"):
+        online.refine(st, CFG, scans=points, scan_masks=masks[:5])
+
+
 def test_online_checkpoint_resume(tmp_path):
     """A restored checkpoint continues the stream with results identical
     to the uninterrupted run (serving-mode elastic recovery)."""

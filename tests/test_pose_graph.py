@@ -227,6 +227,18 @@ def test_banded_solver_falls_back_on_wide_loops():
     np.testing.assert_allclose(np.asarray(rb0.poses), np.asarray(rd0.poses),
                                atol=1e-6)
 
+    # REVERSED arcs (loop_i > loop_j) violate the banded lower-triangle
+    # assembly even within the band — they must fall back too (round-3
+    # review: the signed-span check let them through)
+    graph_r = graph._replace(
+        loop_i=graph.loop_j, loop_j=graph.loop_i,
+        loop_meas=se2.inverse_T(graph.loop_meas))
+    rb_r = pose_graph.optimize(init, graph_r, max_iters=30, solver="banded",
+                               band=10)
+    rd_r = pose_graph.optimize(init, graph_r, max_iters=30, solver="direct")
+    np.testing.assert_array_equal(np.asarray(rb_r.poses),
+                                  np.asarray(rd_r.poses))
+
 
 def test_banded_solver_tiny_graph():
     """n <= band => a single super-block and NO off-diagonals; this used
