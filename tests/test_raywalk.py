@@ -161,6 +161,10 @@ def test_raywalk_v3_matches_v2():
     g3 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
                                           interpret=True, version=3))
     np.testing.assert_array_equal(g_sc, g3)
+    # the signed-compare A/B variant must agree too
+    g4 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
+                                          interpret=True, version=4))
+    np.testing.assert_array_equal(g3, g4)
 
 
 def test_large_k_falls_back_and_stays_exact():
