@@ -3,10 +3,10 @@
 The round-1 map build applied each scan's ray cells with an XLA scatter-add
 (~130M slots/s, one scalar slot at a time — the end-to-end wall, PERF.md).
 This kernel replaces the scatter with a walk over the exact Bresenham cell
-set (same closed form as ops/bresenham.py): the grid tile stays resident in
-VMEM, and each visit applies up to TS=32 ray cells as ONE masked (32, 128)
+set (same closed form as ops/bresenham.py): the grid stays resident in
+VMEM, and each visit applies up to TS=64 ray cells as ONE masked (64, 128)
 vector read-modify-write, so the per-cell cost is a fraction of a VPU op
-instead of a scatter slot.
+instead of a scatter slot (v3 default: 45 ns per visit on the v5e).
 
 Semantics are the reference's (modules/ogm.py:149-188), identical to
 occupancy.build_logodds:

@@ -11,7 +11,7 @@ checkpoint/resume.
     python online_slam.py --dataset 20 --dataset_path data/
     python online_slam.py --synthetic 500 --checkpoint ck.npz --resume
 
-Device-side step cost on one v5e: 1.4-1.9 ms/step (530-706 Hz) with the
+Device-side step cost on one v5e: 0.57 ms/step (1,764 Hz) with the
 whole stream inside one jit; stepping eagerly from the host adds the
 per-dispatch tunnel latency (PERF.md "Online (serving) mode").
 """
