@@ -167,6 +167,50 @@ def test_raywalk_v3_matches_v2():
     np.testing.assert_array_equal(g3, g4)
 
 
+def test_raywalk_fuzz_random_configs():
+    """Seeded fuzz over random map geometries and ray patterns: every
+    kernel version must reproduce the scatter path EXACTLY. This is the
+    class of test that caught the v3 empty-visit bug (coincident boundary
+    crossings at dataset-like slot depths)."""
+    rng = np.random.default_rng(123)
+    for trial in range(10):
+        res = float(rng.choice([0.05, 0.08, 0.1, 0.13, 0.2, 0.25]))
+        ext_x = float(rng.uniform(2.0, 12.0))
+        ext_y = float(rng.uniform(2.0, 12.0))
+        cfg = MapConfig(resolution=res,
+                        world_max_x=ext_x, world_min_x=-ext_x,
+                        world_max_y=ext_y, world_min_y=-ext_y)
+        rmax = float(rng.uniform(0.5, 1.6)) * max(ext_x, ext_y)
+        K = max_ray_cells(cfg, rmax)
+        n, r = int(rng.integers(2, 5)), int(rng.integers(16, 64))
+        ang = rng.uniform(-np.pi, np.pi, (n, r))
+        rad = rng.uniform(0.05, rmax, (n, r))
+        pts = np.stack([rad * np.cos(ang), rad * np.sin(ang)],
+                       axis=-1).astype(np.float32)
+        # adversarial specials: axis-aligned, 45-degree (dm == dM ties),
+        # zero-length
+        pts[0, 0] = [rad[0, 0], 0.0]
+        pts[0, 1] = [0.0, -rad[0, 1]]
+        pts[0, 2] = [rad[0, 2], rad[0, 2]]
+        pts[0, 3] = [1e-4, 1e-4]
+        masks = rng.random((n, r)) > 0.1
+        poses = np.cumsum(rng.normal(0, 0.3, (n, 3)), axis=0).astype(
+            np.float32)
+        # sometimes start outside the map entirely
+        if trial % 3 == 0:
+            poses[:, 0] += ext_x * 1.2
+        want = np.asarray(build_logodds(
+            jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks),
+            cfg, K, backend="scatter"))
+        for version in (1, 2, 3):
+            got = np.asarray(build_logodds_raywalk(
+                jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks),
+                cfg, K, interpret=True, version=version))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"trial {trial} version {version} "
+                f"(res={res}, ext=({ext_x:.2f},{ext_y:.2f}), K={K})")
+
+
 def test_large_k_falls_back_and_stays_exact():
     """K beyond the v2 visit-crossing capacity (_NCROSS * TS) must fall
     back to v1 and still produce the exact map — the round-2 review found
