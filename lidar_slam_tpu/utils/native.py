@@ -4,8 +4,11 @@ The reference's native code is all third-party C/C++ behind Python bindings
 (GTSAM, scipy KDTree, sklearn DBSCAN, cv2 — see SURVEY.md section 2). This
 framework's native layer is first-party: a small C++ library providing the
 host-side runtime pieces that should not run in Python — PNG decode (libpng)
-for the Kinect frames, a parallel texture-frame loader, and an exact KDTree
-used for host-side conformance validation of the on-device brute-force NN.
+for the Kinect frames, a parallel texture-frame loader, an exact KDTree
+(host-side conformance oracle for the on-device brute-force NN), and an
+exact DBSCAN (oracle for the on-device density filter). GTSAM's role is
+replaced in-JAX (models/pose_graph.py), completing the first-party
+replacement of every third-party native dependency.
 
 Build with `make -C native` (see native/Makefile). Everything degrades
 gracefully to pure-Python fallbacks when the library is absent.
@@ -73,6 +76,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.slamio_kdtree_query.restype = None
         lib.slamio_kdtree_free.argtypes = [ctypes.c_void_p]
         lib.slamio_kdtree_free.restype = None
+        lib.slamio_dbscan.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_float,
+                                      ctypes.c_int, ctypes.c_void_p]
+        lib.slamio_dbscan.restype = ctypes.c_int
         _LIB = lib
     except OSError:
         _LIB = None
@@ -185,3 +192,29 @@ def kdtree_query(target: np.ndarray, queries: np.ndarray
     finally:
         lib.slamio_kdtree_free(handle)
     return idx, d2
+
+
+def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Exact DBSCAN labels via the native C++ oracle.
+
+    The host-side conformance reference for the on-device density filter
+    (ops/filters.py) — the first-party stand-in for sklearn's DBSCAN
+    (reference: modules/localization.py:216-217). points (N, D); returns
+    (N,) int32 labels, -1 = noise, clusters numbered 0..k-1 in index-order
+    BFS discovery (sklearn semantics: neighborhood d <= eps, self counted
+    toward min_samples).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run `make -C native`)")
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    if points.ndim != 2:
+        raise ValueError(f"points must be (N, D), got {points.shape}")
+    n, d = points.shape
+    labels = np.empty(n, dtype=np.int32)
+    rc = lib.slamio_dbscan(points.ctypes.data_as(ctypes.c_void_p), n, d,
+                           ctypes.c_float(eps), min_samples,
+                           labels.ctypes.data_as(ctypes.c_void_p))
+    if rc < 0:
+        raise ValueError(f"native dbscan rejected arguments (rc={rc})")
+    return labels

@@ -177,6 +177,60 @@ void slamio_kdtree_free(void* handle) {
   delete static_cast<KdTree*>(handle);
 }
 
+// ---------------------------------------------------------------------------
+// Exact DBSCAN — the host-side conformance oracle for the on-device density
+// filter (lidar_slam_tpu/ops/filters.py). The reference's scan filter is
+// sklearn's DBSCAN (reference: modules/localization.py:216-217); this is the
+// first-party equivalent: textbook index-order BFS over the <= eps
+// neighborhood graph (self counted, like sklearn), O(n^2) — scans are ~1k
+// points, and the oracle's job is exactness, not speed. labels[i] receives
+// the cluster id (0..k-1) or -1 for noise. Returns the cluster count, or -1
+// on bad arguments. Border points adopt the cluster of the first core point
+// that reaches them in BFS order (sklearn semantics); noise and core-point
+// partitions are algorithm-independent.
+// ---------------------------------------------------------------------------
+
+int slamio_dbscan(const float* pts, int n, int dims, float eps,
+                  int min_samples, int* labels) {
+  if (n < 0 || dims <= 0 || dims > 8 || eps < 0) return -1;
+  const double eps2 = (double)eps * (double)eps;
+  auto d2 = [&](int a, int b) {
+    double s = 0.0;
+    for (int k = 0; k < dims; ++k) {
+      double diff = (double)pts[(size_t)a * dims + k] -
+                    (double)pts[(size_t)b * dims + k];
+      s += diff * diff;
+    }
+    return s;
+  };
+  std::vector<std::vector<int>> neigh(n);
+  std::vector<bool> core(n, false);
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j < n; ++j)
+      if (d2(i, j) <= eps2) neigh[i].push_back(j);
+    core[i] = (int)neigh[i].size() >= min_samples;
+  }
+  for (int i = 0; i < n; ++i) labels[i] = -1;
+  int next_label = 0;
+  std::vector<int> queue;
+  for (int i = 0; i < n; ++i) {
+    if (!core[i] || labels[i] != -1) continue;
+    int lab = next_label++;
+    labels[i] = lab;
+    queue.assign(1, i);
+    while (!queue.empty()) {
+      int p = queue.back();
+      queue.pop_back();
+      for (int q : neigh[p]) {
+        if (labels[q] != -1) continue;
+        labels[q] = lab;          // border or core reached by this cluster
+        if (core[q]) queue.push_back(q);
+      }
+    }
+  }
+  return next_label;
+}
+
 int slamio_read_png_info(const char* path, int* width, int* height,
                          int* channels, int* bit_depth) {
   PngImage img;

@@ -1,9 +1,12 @@
-"""Native exact-KDTree oracle vs the on-device brute-force NN (ops/nn.py).
+"""Native first-party oracles (native/slamio.cpp) vs their third-party and
+on-device counterparts.
 
-The reference's correspondence search is scipy.spatial.KDTree (reference:
-modules/icp.py:40,161). Our first-party C++ KDTree (native/slamio.cpp) is the
-host-side exact oracle; these tests pin (a) the tree itself against a float64
-brute-force argmin, and (b) the production TPU NN path against the tree.
+The reference's native layer is all third-party bindings (SURVEY.md section
+2): scipy.spatial.KDTree for correspondences (modules/icp.py:40,161) and
+sklearn DBSCAN for scan filtering (modules/localization.py:216-217). The
+framework's native layer is first-party C++; these tests pin (a) the KDTree
+against a float64 brute-force argmin and the production TPU NN path, and
+(b) the DBSCAN against sklearn and the on-device density filter.
 """
 
 import numpy as np
@@ -55,6 +58,74 @@ def test_kdtree_degenerate_inputs():
 
     with pytest.raises(ValueError):
         native.kdtree_query(tgt, rng.normal(size=(4, 2)).astype(np.float32))
+
+
+def _clustered_points(rng, n):
+    k = int(rng.integers(1, 5))
+    centers = rng.uniform(-5, 5, (k, 2))
+    return np.concatenate([
+        centers[rng.integers(0, k, n // 2)]
+        + rng.normal(0, 0.05, (n // 2, 2)),
+        rng.uniform(-6, 6, (n - n // 2, 2)),
+    ]).astype(np.float32)
+
+
+def test_native_dbscan_matches_sklearn():
+    """The C++ DBSCAN reproduces sklearn exactly: identical noise sets and
+    a label bijection between the partitions (cluster ids are discovery-
+    order on both sides but need not coincide)."""
+    from sklearn.cluster import DBSCAN
+
+    rng = np.random.default_rng(4)
+    for trial in range(6):
+        pts = _clustered_points(rng, int(rng.integers(50, 300)))
+        eps = float(rng.uniform(0.05, 0.4))
+        ms = int(rng.integers(3, 12))
+        ours = native.dbscan(pts, eps, ms)
+        sk = DBSCAN(eps=eps, min_samples=ms).fit_predict(
+            pts.astype(np.float64))
+        np.testing.assert_array_equal(ours == -1, sk == -1,
+                                      err_msg=f"trial {trial} noise")
+        fwd = {}
+        for a, b in zip(ours, sk):
+            if a == -1:
+                continue
+            assert fwd.setdefault(int(a), int(b)) == int(b), trial
+        assert len(set(fwd.values())) == len(fwd), trial
+
+
+def test_device_filter_conforms_to_native_dbscan():
+    """The on-device density filter (ops/filters.py) keeps exactly the
+    native oracle's non-noise points, and its canonical min-label
+    clustering induces the same partition on CORE points (border points
+    may legitimately attach to a different adjacent cluster: the device
+    picks the minimum core label, BFS picks first-visited)."""
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.ops import filters
+
+    rng = np.random.default_rng(9)
+    for trial in range(4):
+        n = 200
+        pts = _clustered_points(rng, n)
+        eps, ms = 0.15, 5
+        ref = native.dbscan(pts, eps, ms)
+        mask = jnp.ones(n, bool)
+        keep = np.asarray(filters.dbscan_outlier_mask(
+            jnp.asarray(pts), mask, eps, ms))
+        np.testing.assert_array_equal(keep, ref != -1,
+                                      err_msg=f"trial {trial} noise mask")
+
+        labels = np.asarray(filters.dbscan_labels(
+            jnp.asarray(pts), mask, eps, ms))
+        # core points: >= ms neighbors incl. self within eps
+        d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        core = (d2 <= eps * eps).sum(1) >= ms
+        fwd = {}
+        for a, b in zip(labels[core], ref[core]):
+            assert b != -1 and a != -1
+            assert fwd.setdefault(int(a), int(b)) == int(b), trial
+        assert len(set(fwd.values())) == len(fwd), trial
 
 
 def test_device_nn_conforms_to_native_kdtree():
