@@ -409,8 +409,9 @@ def _resolve_version(cfg: MapConfig, K: int, version: int) -> int:
         bits (non-negative int32 => <= 127 tiles)
     """
     Wp, Hp = _padded_dims(cfg)
-    if version in (2, 3, 4) and not (K <= _NCROSS * TS and Wp <= 127 * TS
-                                     and Hp <= 16 * _LANES):
+    if version in (2, 3, 4, 7) and not (K <= _NCROSS * TS
+                                        and Wp <= 127 * TS
+                                        and Hp <= 16 * _LANES):
         return 1
     return version
 
@@ -419,7 +420,10 @@ def _make_call(n_rays: int, cfg: MapConfig, interpret: bool, version: int,
                clip: float | None):
     """Build the (pallas_call, describe_fn) pair for one scan's walk."""
     Wp, Hp = _padded_dims(cfg)
-    if version in (3, 4):
+    if version == 7:
+        kernel = _make_kernel_v7(n_rays, cfg.logodds_ratio, clip)
+        n_prefetch, describe = 12, visit_descriptors_v7
+    elif version in (3, 4):
         # 4 = v3 with signed compares (kept for A/B; measured 8% slower)
         kernel = _make_kernel_v3(n_rays, cfg.logodds_ratio, clip,
                                  unsigned_cmp=version == 3)
@@ -453,7 +457,7 @@ def scan_delta_raywalk(
     cfg: MapConfig,
     K: int,
     interpret: bool = False,
-    version: int = 3,
+    version: int = 7,
 ) -> jnp.ndarray:
     """One scan's UNCLIPPED log-odds delta via the ray-walk kernel.
 
@@ -599,6 +603,138 @@ def _make_kernel_v3(n_rays: int, log4: float, clip: float | None,
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# v7: fully-precomputed per-visit scalars.
+#
+# v5/v6 (endpoint-separated) measured SLOWER than v3 despite 2 fewer vector
+# ops per visit — the walk is bound by the per-visit SCALAR chain + RMW
+# issue (~36 ns/visit fixed vs ~11 ns of vector work), not by VPU
+# throughput. v7 therefore attacks the scalar path: the XLA side
+# precomputes, per visit,
+#
+#   w1 = C                      (the affine constant, full int32)
+#   w2 = span | d_lo << 7 | (rtile * 16 + ltile) << 15   (sentinel: -1)
+#
+# so the kernel's per-visit scalar work is two SMEM loads + ~6 unpack ops
+# (vs v3's ~22-op chain deriving C / d_lo / span from k0/k1). The endpoint
+# test rides a per-ray scalar: the endpoint's driver-axis GRID coordinate
+# d_end_g = sM + sgM * k_out; per visit d_end = d_end_g - tb_major, and the
+# span test already guarantees only the visit containing slot k_out can
+# match DR == d_end. Visit set, masks, and accumulation order are identical
+# to v3 — maps stay bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def visit_descriptors_v7(
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> Tuple[jnp.ndarray, ...]:
+    """Base ray arrays + (C, w2, d_end_g) for the v7 kernel."""
+    full = visit_descriptors(pose, points, mask, cfg, K)
+    base, desc = full[:-1], full[-1]
+    steep, sM, sm, sgM, sgm, dM, dm, c, k_in, k_out = base
+
+    k0 = desc & 1023
+    k1 = (desc >> 10) & 1023
+    ltile = (desc >> 20) & 15
+    rtile = desc >> 24
+    rt = rtile * TS
+    lt = ltile * _LANES
+
+    stp = (steep == 1)[:, None]
+    tb_major = jnp.where(stp, lt, rt)
+    tb_oth = jnp.where(stp, rt, lt)
+    ca = (sgM * dm)[:, None]
+    # dM maxed to 1 BEFORE cb, exactly like the kernel's V0 half of the
+    # affine test: a degenerate dM=0 ray (start cell == end cell) must keep
+    # cb = -sgm so val = C + cb*OT still selects the minor coordinate
+    cb = (-sgm * jnp.maximum(dM, 1))[:, None]
+    C = c[:, None] + ca * (tb_major - sM[:, None]) + cb * (tb_oth - sm[:, None])
+
+    base_r = sM[:, None] - tb_major
+    p0 = base_r + sgM[:, None] * k0
+    p1 = base_r + sgM[:, None] * (k1 - 1)
+    pos = (sgM > 0)[:, None]
+    d_lo = jnp.where(pos, p0, p1)
+    d_hi = jnp.where(pos, p1, p0)
+    span = d_hi - d_lo
+    live = (k0 <= k_out[:, None]) & (span >= 0)
+    d_lo_s = jnp.where(live, d_lo, 255)
+    span_s = jnp.where(live, span, 0)
+    tile11 = rtile * 16 + ltile
+    w2 = span_s | (d_lo_s << 7) | (tile11 << 15)
+    # sentinel visits (k0 > k_out) terminate the walk: sign bit set
+    w2 = jnp.where(k0 <= k_out[:, None], w2, -1).astype(jnp.int32)
+
+    d_end_g = (sM + sgM * k_out).astype(jnp.int32)
+    # interleave (C, w2) into ONE (R, 2K) array: SMEM pads every 2-D scalar
+    # row to a 512 B pitch, so two (R, K<=24) operands cost ~1.1 MB of the
+    # 1 MiB SMEM (measured overflow) while one (R, 2K) array costs half that
+    w = jnp.stack([C.astype(jnp.int32), w2], axis=-1).reshape(C.shape[0], -1)
+    return base + (w, d_end_g)
+
+
+def _make_kernel_v7(n_rays: int, log4: float, clip: float | None):
+    log4 = float(log4)
+    clip = None if clip is None else float(clip)
+
+    def kernel(steep_ref, sM_ref, sm_ref, sgM_ref, sgm_ref, dM_ref,
+               dm_ref, c_ref, kin_ref, kout_ref, w_ref, deg_ref,
+               grid_in_ref, grid_ref):
+        del grid_in_ref, sM_ref, sm_ref, c_ref, kin_ref, kout_ref
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 1)
+
+        def ray_body(r, _):
+            steep = steep_ref[r]
+            sgM = sgM_ref[r]
+            sgm = sgm_ref[r]
+            dM = jnp.maximum(dM_ref[r], 1)
+            dm = dm_ref[r]
+            stp = steep == 1
+            ca = sgM * dm
+            cb = -sgm * dM
+            DR = jnp.where(stp, l_iota, s_iota)
+            V0 = ca * DR + cb * jnp.where(stp, s_iota, l_iota)
+            DRu = DR.astype(jnp.uint32)
+            dMu = dM.astype(jnp.uint32)
+            deg = deg_ref[r]
+
+            def visit(carry):
+                vn, C, w2 = carry
+                span = w2 & 127
+                d_lo = (w2 >> 7) & 255
+                tile = w2 >> 15
+                lt = (tile & 15) * _LANES
+                rt = (tile >> 4) * TS
+                d_end = deg - jnp.where(stp, lt, rt)
+                val = V0 + C
+                mk = ((val.astype(jnp.uint32) < dMu)
+                      & ((DRu - d_lo.astype(jnp.uint32))
+                         <= span.astype(jnp.uint32)))
+                delta = jnp.where(
+                    mk, jnp.where(DR == d_end, log4, -log4), 0.0)
+                rts = pl.multiple_of(rt, TS)
+                lts = pl.multiple_of(lt, _LANES)
+                tile_v = grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)]
+                grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)] = tile_v + delta
+                return vn + 2, w_ref[r, vn], w_ref[r, vn + 1]
+
+            jax.lax.while_loop(lambda cv: cv[2] >= 0, visit,
+                               (jnp.int32(2), w_ref[r, 0], w_ref[r, 1]))
+            return 0
+
+        jax.lax.fori_loop(0, n_rays, ray_body, 0)
+        if clip is not None:
+            # per-scan clip (reference ogm.py:188), fused before writeback
+            grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
+
+    return kernel
+
+
 @partial(jax.jit, static_argnames=("cfg", "K", "interpret", "version"))
 def build_logodds_raywalk(
     poses: jnp.ndarray,
@@ -608,16 +744,19 @@ def build_logodds_raywalk(
     K: int,
     init: jnp.ndarray | None = None,
     interpret: bool = False,
-    version: int = 3,
+    version: int = 7,
 ) -> jnp.ndarray:
     """Full map build with the ray-walk kernel: lax.scan over scans, each
     step one pallas_call on the padded grid (reference ogm.py:45-59).
 
     Drop-in replacement for occupancy.build_logodds (same semantics; see
-    module docstring for the float-accumulation-order caveat). version=2
-    (default) precomputes packed visit descriptors on the XLA side so the
-    kernel's walk loop carries no scalar divisions; version=1 computes
-    the boundaries in-kernel.
+    module docstring for the float-accumulation-order caveat). version=7
+    (default) precomputes the per-visit affine constant and packed
+    span/tile word on the XLA side, so the kernel's per-visit scalar work
+    is two SMEM loads plus unpacking (intra-process A/B on the v5e:
+    0.190 ms/scan vs v3's 0.220); v3/v4 derive them in-kernel from the v2
+    packed visit words; v2 keeps the per-visit division chain; v1 computes
+    the walk boundaries in-kernel. All versions are bit-identical.
     """
     n_rays = int(points.shape[1])
     version = _resolve_version(cfg, K, version)

@@ -165,6 +165,10 @@ def test_raywalk_v3_matches_v2():
     g4 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
                                           interpret=True, version=4))
     np.testing.assert_array_equal(g3, g4)
+    # v7 (precomputed per-visit scalars, the production default) too
+    g7 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
+                                          interpret=True, version=7))
+    np.testing.assert_array_equal(g3, g7)
 
 
 def test_raywalk_fuzz_random_configs():
@@ -202,7 +206,7 @@ def test_raywalk_fuzz_random_configs():
         want = np.asarray(build_logodds(
             jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks),
             cfg, K, backend="scatter"))
-        for version in (1, 2, 3):
+        for version in (1, 2, 3, 7):
             got = np.asarray(build_logodds_raywalk(
                 jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks),
                 cfg, K, interpret=True, version=version))
