@@ -409,9 +409,9 @@ def _resolve_version(cfg: MapConfig, K: int, version: int) -> int:
         bits (non-negative int32 => <= 127 tiles)
     """
     Wp, Hp = _padded_dims(cfg)
-    if version in (2, 3, 4, 7) and not (K <= _NCROSS * TS
-                                        and Wp <= 127 * TS
-                                        and Hp <= 16 * _LANES):
+    if version in (2, 3, 4, 7, 8) and not (K <= _NCROSS * TS
+                                           and Wp <= 127 * TS
+                                           and Hp <= 16 * _LANES):
         return 1
     return version
 
@@ -420,7 +420,10 @@ def _make_call(n_rays: int, cfg: MapConfig, interpret: bool, version: int,
                clip: float | None):
     """Build the (pallas_call, describe_fn) pair for one scan's walk."""
     Wp, Hp = _padded_dims(cfg)
-    if version == 7:
+    if version == 8:
+        kernel = _make_kernel_v8(n_rays, cfg.logodds_ratio, clip)
+        n_prefetch, describe = 12, visit_descriptors_v8
+    elif version == 7:
         kernel = _make_kernel_v7(n_rays, cfg.logodds_ratio, clip)
         n_prefetch, describe = 12, visit_descriptors_v7
     elif version in (3, 4):
@@ -457,7 +460,7 @@ def scan_delta_raywalk(
     cfg: MapConfig,
     K: int,
     interpret: bool = False,
-    version: int = 7,
+    version: int = 8,
 ) -> jnp.ndarray:
     """One scan's UNCLIPPED log-odds delta via the ray-walk kernel.
 
@@ -625,14 +628,18 @@ def _make_kernel_v3(n_rays: int, log4: float, clip: float | None,
 # ---------------------------------------------------------------------------
 
 
-def visit_descriptors_v7(
+def _visit_words(
     pose: jnp.ndarray,
     points: jnp.ndarray,
     mask: jnp.ndarray,
     cfg: MapConfig,
     K: int,
-) -> Tuple[jnp.ndarray, ...]:
-    """Base ray arrays + (C, w2, d_end_g) for the v7 kernel."""
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared v7/v8 per-visit words: (base, C, w2, d_end_g).
+
+    C (R, V) int32 affine constants, w2 (R, V) packed span/d_lo/tile words
+    (sentinel -1 marks the end of each ray's live prefix), d_end_g (R,)
+    endpoint driver-axis grid coordinates."""
     full = visit_descriptors(pose, points, mask, cfg, K)
     base, desc = full[:-1], full[-1]
     steep, sM, sm, sgM, sgm, dM, dm, c, k_in, k_out = base
@@ -670,10 +677,57 @@ def visit_descriptors_v7(
     w2 = jnp.where(k0 <= k_out[:, None], w2, -1).astype(jnp.int32)
 
     d_end_g = (sM + sgM * k_out).astype(jnp.int32)
-    # interleave (C, w2) into ONE (R, 2K) array: SMEM pads every 2-D scalar
-    # row to a 512 B pitch, so two (R, K<=24) operands cost ~1.1 MB of the
-    # 1 MiB SMEM (measured overflow) while one (R, 2K) array costs half that
-    w = jnp.stack([C.astype(jnp.int32), w2], axis=-1).reshape(C.shape[0], -1)
+    return base, C.astype(jnp.int32), w2, d_end_g
+
+
+def visit_descriptors_v7(
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> Tuple[jnp.ndarray, ...]:
+    """Base ray arrays + interleaved (C, w2) + d_end_g for the v7 kernel."""
+    base, C, w2, d_end_g = _visit_words(pose, points, mask, cfg, K)
+    # interleave (C, w2) into ONE (R, 2V) array: SMEM pads every 2-D scalar
+    # row to a 512 B pitch, so two (R, V<=24) operands cost ~1.1 MB of the
+    # 1 MiB SMEM (measured overflow) while one (R, 2V) array costs half that
+    w = jnp.stack([C, w2], axis=-1).reshape(C.shape[0], -1)
+    return base + (w, d_end_g)
+
+
+# a visit word that provably matches nothing: d_lo = 255 > any DR (<= 127),
+# span = 0, tile = 0 (a real tile, so the no-op RMW address stays in range)
+_SAFE_NOOP = 255 << 7
+
+
+def visit_descriptors_v8(
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> Tuple[jnp.ndarray, ...]:
+    """v7 words, padded so every ray's live visit count is EVEN.
+
+    The v8 kernel walks visits two per loop iteration and only tests the
+    FIRST of each pair for the end sentinel, so odd-count rays get one
+    _SAFE_NOOP visit (mask provably empty, tile 0: adds 0.0 — exact, since
+    -0.0 never occurs in a grid accumulating +/-log4) appended before the
+    sentinel run. Two extra columns keep the pair-lookahead loads in
+    bounds (max live count 23 -> pad at slot 23, sentinels at 24..25)."""
+    base, C, w2, d_end_g = _visit_words(pose, points, mask, cfg, K)
+    n = C.shape[0]
+    # live visits are a prefix (k0 ascending per ray; sentinel iff k0 > k_out)
+    cnt = jnp.sum((w2 >= 0).astype(jnp.int32), axis=1)[:, None]
+    j = jnp.arange(w2.shape[1] + 2, dtype=jnp.int32)[None, :]
+    w2p = jnp.concatenate([w2, jnp.full((n, 2), -1, jnp.int32)], axis=1)
+    pad_here = (j == cnt) & ((cnt & 1) == 1)
+    w2p = jnp.where(j < cnt, w2p,
+                    jnp.where(pad_here, _SAFE_NOOP, -1)).astype(jnp.int32)
+    Cp = jnp.concatenate([C, jnp.zeros((n, 2), jnp.int32)], axis=1)
+    Cp = jnp.where(j < cnt, Cp, 0)
+    w = jnp.stack([Cp, w2p], axis=-1).reshape(n, -1)
     return base + (w, d_end_g)
 
 
@@ -735,6 +789,87 @@ def _make_kernel_v7(n_rays: int, log4: float, clip: float | None):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# v8: paired visits (2x unroll of the walk loop).
+#
+# v7's per-visit cost is dominated by the loop-carried scalar chain and the
+# while-loop condition/branch, not VPU throughput. v8 walks TWO visits per
+# iteration: consecutive visits of a ray touch DIFFERENT tiles by
+# construction (a visit ends exactly where the walk crosses a tile
+# boundary), so the two scalar unpack chains and RMW address computations
+# are independent and can overlap, and the branch overhead halves. The
+# descriptor side pads every ray's visit list to an even length with a
+# provably-empty _SAFE_NOOP visit so the loop condition only ever tests the
+# first word of a pair. Visit order (and so float accumulation order) is
+# unchanged — maps stay bit-identical to v7/v3/v2/v1/scatter.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_v8(n_rays: int, log4: float, clip: float | None):
+    log4 = float(log4)
+    clip = None if clip is None else float(clip)
+
+    def kernel(steep_ref, sM_ref, sm_ref, sgM_ref, sgm_ref, dM_ref,
+               dm_ref, c_ref, kin_ref, kout_ref, w_ref, deg_ref,
+               grid_in_ref, grid_ref):
+        del grid_in_ref, sM_ref, sm_ref, c_ref, kin_ref, kout_ref
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 1)
+
+        def ray_body(r, _):
+            steep = steep_ref[r]
+            sgM = sgM_ref[r]
+            sgm = sgm_ref[r]
+            dM = jnp.maximum(dM_ref[r], 1)
+            dm = dm_ref[r]
+            stp = steep == 1
+            ca = sgM * dm
+            cb = -sgm * dM
+            DR = jnp.where(stp, l_iota, s_iota)
+            V0 = ca * DR + cb * jnp.where(stp, s_iota, l_iota)
+            DRu = DR.astype(jnp.uint32)
+            dMu = dM.astype(jnp.uint32)
+            deg = deg_ref[r]
+
+            def emit(C, w2):
+                span = w2 & 127
+                d_lo = (w2 >> 7) & 255
+                tile = w2 >> 15
+                lt = (tile & 15) * _LANES
+                rt = (tile >> 4) * TS
+                d_end = deg - jnp.where(stp, lt, rt)
+                val = V0 + C
+                mk = ((val.astype(jnp.uint32) < dMu)
+                      & ((DRu - d_lo.astype(jnp.uint32))
+                         <= span.astype(jnp.uint32)))
+                delta = jnp.where(
+                    mk, jnp.where(DR == d_end, log4, -log4), 0.0)
+                rts = pl.multiple_of(rt, TS)
+                lts = pl.multiple_of(lt, _LANES)
+                tile_v = grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)]
+                grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)] = tile_v + delta
+
+            def visit_pair(carry):
+                vn, Ca, w2a, Cb, w2b = carry
+                emit(Ca, w2a)
+                emit(Cb, w2b)
+                return (vn + 4, w_ref[r, vn], w_ref[r, vn + 1],
+                        w_ref[r, vn + 2], w_ref[r, vn + 3])
+
+            jax.lax.while_loop(
+                lambda cv: cv[2] >= 0, visit_pair,
+                (jnp.int32(4), w_ref[r, 0], w_ref[r, 1],
+                 w_ref[r, 2], w_ref[r, 3]))
+            return 0
+
+        jax.lax.fori_loop(0, n_rays, ray_body, 0)
+        if clip is not None:
+            # per-scan clip (reference ogm.py:188), fused before writeback
+            grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
+
+    return kernel
+
+
 @partial(jax.jit, static_argnames=("cfg", "K", "interpret", "version"))
 def build_logodds_raywalk(
     poses: jnp.ndarray,
@@ -744,19 +879,21 @@ def build_logodds_raywalk(
     K: int,
     init: jnp.ndarray | None = None,
     interpret: bool = False,
-    version: int = 7,
+    version: int = 8,
 ) -> jnp.ndarray:
     """Full map build with the ray-walk kernel: lax.scan over scans, each
     step one pallas_call on the padded grid (reference ogm.py:45-59).
 
     Drop-in replacement for occupancy.build_logodds (same semantics; see
-    module docstring for the float-accumulation-order caveat). version=7
-    (default) precomputes the per-visit affine constant and packed
-    span/tile word on the XLA side, so the kernel's per-visit scalar work
-    is two SMEM loads plus unpacking (intra-process A/B on the v5e:
-    0.190 ms/scan vs v3's 0.220); v3/v4 derive them in-kernel from the v2
-    packed visit words; v2 keeps the per-visit division chain; v1 computes
-    the walk boundaries in-kernel. All versions are bit-identical.
+    module docstring for the float-accumulation-order caveat). version=8
+    (default) walks v7's precomputed per-visit words TWO per loop
+    iteration (consecutive visits never share a tile, so the pair's
+    chains overlap; intra-process A/B on the v5e: 0.180 ms/scan vs v7's
+    0.190); v7 precomputes the per-visit affine constant and packed
+    span/tile word on the XLA side (vs v3's 0.220 in-kernel derivation);
+    v3/v4 derive them in-kernel from the v2 packed visit words; v2 keeps
+    the per-visit division chain; v1 computes the walk boundaries
+    in-kernel. All versions are bit-identical.
     """
     n_rays = int(points.shape[1])
     version = _resolve_version(cfg, K, version)

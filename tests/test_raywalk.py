@@ -169,6 +169,11 @@ def test_raywalk_v3_matches_v2():
     g7 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
                                           interpret=True, version=7))
     np.testing.assert_array_equal(g3, g7)
+    # v8 (paired visits with even-padded descriptors) too — this config's
+    # deep slot counts exercise odd/even visit counts and empty visits
+    g8 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
+                                          interpret=True, version=8))
+    np.testing.assert_array_equal(g3, g8)
 
 
 def test_raywalk_fuzz_random_configs():
@@ -206,7 +211,7 @@ def test_raywalk_fuzz_random_configs():
         want = np.asarray(build_logodds(
             jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks),
             cfg, K, backend="scatter"))
-        for version in (1, 2, 3, 7):
+        for version in (1, 2, 3, 7, 8):
             got = np.asarray(build_logodds_raywalk(
                 jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks),
                 cfg, K, interpret=True, version=version))
