@@ -352,7 +352,8 @@ def optimize(
                          band=band)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "cg_iters", "solver", "band"))
+@partial(jax.jit, static_argnames=("max_iters", "cg_iters", "solver", "band",
+                                   "trace"))
 def _optimize_jit(
     poses0: jnp.ndarray,
     graph: PoseGraph,
@@ -365,6 +366,7 @@ def _optimize_jit(
     cost_rtol: float = 1e-9,
     solver: str = "direct",
     band: int = 10,
+    trace: bool = False,
 ) -> LMResult:
     """Levenberg-Marquardt with explicit block-sparse normal equations.
 
@@ -645,6 +647,21 @@ def _optimize_jit(
     lam0 = jnp.asarray(lambda_init, dtype)
     state = (poses0, lam0, cost_at(poses0), jnp.asarray(0),
              jnp.asarray(False), jnp.asarray(0), jnp.zeros_like(poses0))
+    if trace:
+        # observability variant: fixed-length scan recording the per-
+        # iteration (cost, lambda, stalls) trajectory; rows past
+        # convergence repeat the final state (`ran` marks live rows)
+        def scan_step(st, _):
+            live = cond(st)
+            new = jax.lax.cond(live, step, lambda s: s, st)
+            return new, (live, new[2], new[1], new[5])
+        state, hist = jax.lax.scan(scan_step, state, None, length=max_iters)
+        x, lam, cost, it, _, _, _ = state
+        ran, h_cost, h_lam, h_stalls = hist
+        return (LMResult(poses=x, cost=cost, iterations=it,
+                         final_lambda=lam),
+                {"ran": ran, "cost": h_cost, "lambda": h_lam,
+                 "stalls": h_stalls})
     x, lam, cost, it, _, _, _ = jax.lax.while_loop(cond, step, state)
     return LMResult(poses=x, cost=cost, iterations=it, final_lambda=lam)
 

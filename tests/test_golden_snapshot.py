@@ -31,7 +31,11 @@ def test_pipeline_matches_golden_snapshot():
     cfg = SlamConfig(
         map=MapConfig(resolution=0.25, world_max_x=25, world_min_x=-25,
                       world_max_y=25, world_min_y=-25),
-        pose_graph=PoseGraphConfig(max_lm_iters=10, cg_iters=50))
+        # cost_rtol pinned at the tolerance the golden was generated with
+        # (the shipped config default has since moved to GTSAM's 1e-5;
+        # this test pins numerics, not the stopping-rule semantics)
+        pose_graph=PoseGraphConfig(max_lm_iters=10, cg_iters=50,
+                                   cost_rtol=1e-7))
     res = slam.run_slam(d["encoder"]["counts"], d["imu"]["angular_velocity"],
                         d["lidar"]["ranges"], 0.1, 30.0, mode="gtsam",
                         filter_lidar=True, cfg=cfg, build_map=True,
