@@ -634,8 +634,13 @@ def _optimize_jit(
         x = jnp.where(accept, x_new, x)
         lam = jnp.where(accept, lam * lambda_down, lam * lambda_up)
         improved = (cost - cost_new) > cost_rtol * jnp.maximum(cost, 1.0)
+        # gtsam checkConvergence analog: an ACCEPTED step whose relative
+        # decrease is below tol ends the optimization immediately; rejected
+        # steps instead retry with larger lambda under the stall/lambda
+        # caps (gtsam's lambdaUpperBound analog)
+        converged = accept & ~improved
         stalls = jnp.where(accept & improved, 0, stalls + 1)
-        done = (stalls >= 3) | (lam > 1e10)
+        done = converged | (stalls >= 3) | (lam > 1e10)
         cost = jnp.where(accept, cost_new, cost)
         dx_prev = jnp.where(accept, jnp.zeros_like(dx), dx)
         return (x, lam, cost, it + 1, done, stalls, dx_prev)
