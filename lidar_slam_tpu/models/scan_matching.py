@@ -124,23 +124,6 @@ def icp_all_pairs(
     tmap = jax.tree_util.tree_map
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
 
-    def step_chunk(args):
-        # only the carry and the original-pair indices travel through the
-        # resort; live chunks gather their (C, P, ...) point slices here, so
-        # a phase moves O(live-chunks x C x P) point bytes instead of
-        # re-permuting the full padded arrays (~100 MB/phase at dataset
-        # scale). All-done chunks cost one predicate, not a full NN pass.
-        oidx, carry = args
-
-        def live(a):
-            oidx, carry = a
-            return icp_ops.icp_step_batch(src_p[oidx], tgt_p[oidx],
-                                          src_mask_p[oidx], tgt_mask_p[oidx],
-                                          carry, **kwargs)
-
-        return jax.lax.cond(jnp.any(~carry.done), live, lambda a: a[1],
-                            (oidx, carry))
-
     # phase 0: one iteration for every pair (work any schedule must do)
     def phase0(args):
         s, t, sm, tm, i0 = args
@@ -159,11 +142,33 @@ def icp_all_pairs(
     def body(st):
         c, orig = st
         # live pairs to the front (stable sort on the done flag), so live
-        # work occupies ceil(live / C) chunks and the rest are skipped
+        # work occupies exactly the first ceil(live / C) chunks and the
+        # fori_loop below never touches a dead chunk (the earlier
+        # map-with-cond visited all n_chunks, paying a predicate + branch
+        # for each dead one — ~1,400 dead-chunk visits at dataset scale)
         order = jnp.argsort(c.done, stable=True)
         c = tmap(lambda x: x[order], c)
         orig = orig[order]
-        c = tmap(flat, jax.lax.map(step_chunk, (resh(orig), tmap(resh, c))))
+        n_live_chunks = (jnp.sum(~c.done) + C - 1) // C
+
+        def chunk_body(i, cc):
+            # only the carry and the original-pair indices travel through
+            # the resort; live chunks gather their (C, P, ...) point
+            # slices here, so a phase moves O(live-chunks x C x P) point
+            # bytes instead of re-permuting the full padded arrays
+            # (~100 MB/phase at dataset scale)
+            off = i * C
+            oidx = jax.lax.dynamic_slice_in_dim(orig, off, C)
+            cchunk = tmap(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, off, C), cc)
+            new = icp_ops.icp_step_batch(src_p[oidx], tgt_p[oidx],
+                                         src_mask_p[oidx], tgt_mask_p[oidx],
+                                         cchunk, **kwargs)
+            return tmap(
+                lambda full, nw: jax.lax.dynamic_update_slice_in_dim(
+                    full, nw, off, 0), cc, new)
+
+        c = jax.lax.fori_loop(0, n_live_chunks, chunk_body, c)
         return (c, orig)
 
     c, orig = jax.lax.while_loop(cond, body, state)
