@@ -241,18 +241,23 @@ def main():
         # map walk: tile visits actually executed by the ray-walk kernel
         # (each = one masked (TS, 128) vector RMW); the round-2 floor is
         # ~86 ns/visit on the v5e
-        from lidar_slam_tpu.ops.raywalk import visit_descriptors
-        sample = min(64, N_STEPS)
-        desc = jax.vmap(
-            lambda p, pt, m: visit_descriptors(p, pt, m, cfg.map, K)[-1]
-        )(opt.poses[:sample], points[:sample], masks[:sample])
-        visits_per_scan = float(((desc & 1023) < K).sum()) / sample
-        total_visits = visits_per_scan * N_STEPS
-        util["map_visits_per_scan"] = round(visits_per_scan, 1)
-        util["map_ns_per_visit"] = round(
-            stages["map_build_s"] * 1e9 / total_visits, 1)
-        util["map_visits_per_s"] = round(total_visits
-                                         / stages["map_build_s"])
+        from lidar_slam_tpu.ops.raywalk import _resolve_version, visit_descriptors
+        # the visit model only describes the v2+ packed-descriptor kernels;
+        # if capacity limits ever force the v1 fallback (K too large for
+        # the crossing buffers), visit counts from visit_descriptors would
+        # silently UNDERCOUNT — skip the rows rather than emit wrong ones
+        if _resolve_version(cfg.map, K, 8) != 1:
+            sample = min(64, N_STEPS)
+            desc = jax.vmap(
+                lambda p, pt, m: visit_descriptors(p, pt, m, cfg.map, K)[-1]
+            )(opt.poses[:sample], points[:sample], masks[:sample])
+            visits_per_scan = float(((desc & 1023) < K).sum()) / sample
+            total_visits = visits_per_scan * N_STEPS
+            util["map_visits_per_scan"] = round(visits_per_scan, 1)
+            util["map_ns_per_visit"] = round(
+                stages["map_build_s"] * 1e9 / total_visits, 1)
+            util["map_visits_per_s"] = round(total_visits
+                                             / stages["map_build_s"])
 
         # scan matching: executed chunk-iterations under the phased-resort
         # schedule = sum over depths t of ceil(live_t / chunk); per-pass

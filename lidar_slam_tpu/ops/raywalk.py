@@ -408,6 +408,11 @@ def _resolve_version(cfg: MapConfig, K: int, version: int) -> int:
         the crossing bound), lane-tile 4 bits, row-tile the remaining top
         bits (non-negative int32 => <= 127 tiles)
     """
+    if version not in (1, 2, 3, 4, 7, 8):
+        # fail loudly: silently running a different kernel than requested
+        # would poison A/B timings (bit-identity can't catch a mislabel)
+        raise ValueError(f"unknown raywalk kernel version {version}; "
+                         "known: 1, 2, 3, 4, 7, 8")
     Wp, Hp = _padded_dims(cfg)
     if version in (2, 3, 4, 7, 8) and not (K <= _NCROSS * TS
                                            and Wp <= 127 * TS

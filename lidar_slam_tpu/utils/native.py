@@ -30,23 +30,39 @@ def _lib_path() -> str:
     return os.path.join(os.path.dirname(__file__), "..", "..", "native", "libslamio.so")
 
 
+def _make(path: str, force: bool) -> bool:
+    """Build the native library on demand (g++ + libpng are in the image)."""
+    import subprocess
+
+    try:
+        cmd = ["make", "-B"] if force else ["make"]
+        subprocess.run(cmd + ["-C", os.path.dirname(path)],
+                       capture_output=True, timeout=120, check=True)
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = os.path.abspath(_lib_path())
-    if not os.path.exists(path):
-        # build on demand (g++ + libpng are part of the toolchain)
-        import subprocess
-
-        try:
-            subprocess.run(["make", "-C", os.path.dirname(path)],
-                           capture_output=True, timeout=120, check=True)
-        except Exception:
-            return None
+    if not os.path.exists(path) and not _make(path, force=False):
+        return None
     if not os.path.exists(path):
         return None
+    _LIB = _bind(path)
+    if _LIB is None and _make(path, force=True):
+        # a stale .so built from an older source revision can dlopen fine
+        # yet lack newer symbols (AttributeError below); force-rebuild once
+        # and retry before degrading to the pure-Python fallbacks
+        _LIB = _bind(path)
+    return _LIB
+
+
+def _bind(path: str) -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(path)
         lib.slamio_read_png_info.argtypes = [
@@ -80,10 +96,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                       ctypes.c_int, ctypes.c_float,
                                       ctypes.c_int, ctypes.c_void_p]
         lib.slamio_dbscan.restype = ctypes.c_int
-        _LIB = lib
-    except OSError:
-        _LIB = None
-    return _LIB
+        return lib
+    except (OSError, AttributeError):
+        # OSError: dlopen failure; AttributeError: missing export (stale .so)
+        return None
 
 
 def available() -> bool:

