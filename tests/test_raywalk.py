@@ -248,3 +248,13 @@ def test_large_k_falls_back_and_stays_exact():
                                     backend="scatter"))
     np.testing.assert_array_equal(got, want)
     assert (got != 0).sum() > 1000
+
+
+def test_unknown_version_raises():
+    # mislabeled A/B timings are worse than a crash: unknown versions must
+    # error, not silently fall back to some other kernel
+    poses, pts, masks = _adversarial_scans(n=3)
+    for bad in (0, 5, 6, 9, 42):
+        with pytest.raises(ValueError, match="unknown raywalk kernel"):
+            build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                  interpret=True, version=bad)
