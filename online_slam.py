@@ -97,6 +97,13 @@ def main(argv=None):
         start = int(st.step) + 1
         print(f"resumed from {args.checkpoint} at step {start - 1}",
               file=sys.stderr)
+        if start >= n:
+            # resume indices are positions in the SAME stream; a checkpoint
+            # at/past the stream end means there is nothing left to feed
+            print(f"stream exhausted: checkpoint is at step {start - 1} "
+                  f"but the stream has only {n} steps; nothing to do "
+                  "(pass a longer stream to continue this run)",
+                  file=sys.stderr)
     else:
         st = online.init_state(points[0], masks[0], cfg,
                                n_max=args.window, K=K)
@@ -120,8 +127,9 @@ def main(argv=None):
                 online.save_state(args.checkpoint, st)
     st.pose.block_until_ready()
     dt = time.time() - t0
-    print(f"streamed {n - start} steps in {dt:.2f}s "
-          f"({(n - start) / max(dt, 1e-9):.0f} Hz incl. host dispatch); "
+    streamed = max(0, n - start)
+    rate = f"{streamed / dt:.0f} Hz incl. host dispatch" if streamed else "idle"
+    print(f"streamed {streamed} steps in {dt:.2f}s ({rate}); "
           f"final pose {np.asarray(st.pose)}", file=sys.stderr)
 
     if args.checkpoint:
