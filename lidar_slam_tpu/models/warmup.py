@@ -35,6 +35,40 @@ def load_pc(model_name: str, idx: int, data_dir: str = "./data") -> np.ndarray:
     return np.load(os.path.join(data_dir, model_name, f"{idx}.npy"))
 
 
+def synthetic_model(n_points: int = 5000, seed: int = 0) -> np.ndarray:
+    """A 3-D object-like cloud (box shell + surface noise), warm-up-problem
+    scale. Stand-in for the unshipped .mat models (the reference gitignores
+    its data/), so the warm-up harness can run anywhere."""
+    r = np.random.default_rng(seed)
+    face = r.integers(0, 6, n_points)
+    uv = r.uniform(-0.5, 0.5, (n_points, 2))
+    pts = np.zeros((n_points, 3))
+    axis = face // 2
+    sign = np.where(face % 2 == 0, 0.5, -0.5)
+    others = [(1, 2), (0, 2), (0, 1)]
+    for a in range(3):
+        m = axis == a
+        pts[m, a] = sign[m]
+        pts[m, others[a][0]] = uv[m, 0]
+        pts[m, others[a][1]] = uv[m, 1]
+    pts *= [0.2, 0.15, 0.3]
+    pts += r.normal(0, 0.002, pts.shape)
+    return pts
+
+
+def synthetic_pc(model: np.ndarray, idx: int, seed: int = 0) -> np.ndarray:
+    """A rigidly transformed, subsampled, noisy copy of `model` — one
+    synthetic warm-up target cloud (ground-truth alignment is the inverse
+    of the applied transform)."""
+    r = np.random.default_rng(seed + 100 * (idx + 1))
+    yaw = r.uniform(-np.pi, np.pi)
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    keep = r.random(model.shape[0]) > 0.3
+    pc = model[keep] @ R.T + r.uniform(-0.3, 0.3, 3)
+    return pc + r.normal(0, 0.003, pc.shape)
+
+
 def yaw_seed_transforms(source: np.ndarray, target: np.ndarray,
                         n_seeds: int = 24) -> np.ndarray:
     """Yaw-sweep initial transforms with centroid-aligned translation

@@ -18,13 +18,23 @@ if __name__ == "__main__":
     parser.add_argument("--export_ply", action="store_true",
                         help="also write images/<obj>_<i>.ply (aligned + "
                              "target clouds) for interactive 3-D viewers")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="run on synthetic clouds (the reference "
+                             "gitignores its data/, so the .mat models "
+                             "are not shipped)")
     args = parser.parse_args()
 
-    source_pc = warmup.read_canonical_model(args.obj_name, args.data_dir)
+    if args.synthetic:
+        source_pc = warmup.synthetic_model()
+    else:
+        source_pc = warmup.read_canonical_model(args.obj_name, args.data_dir)
 
     best_errors = {}
     for i in range(args.num_pc):
-        target_pc = warmup.load_pc(args.obj_name, i, args.data_dir)
+        if args.synthetic:
+            target_pc = warmup.synthetic_pc(source_pc, i)
+        else:
+            target_pc = warmup.load_pc(args.obj_name, i, args.data_dir)
         best_T, best_err, errs = warmup.best_icp_alignment(
             source_pc, target_pc, n_seeds=args.n_seeds)
         best_errors[i] = round(best_err, 3)
