@@ -240,7 +240,7 @@ def main():
         # ---- utilization vs the measured device floors (PERF.md) ----
         # map walk: tile visits actually executed by the ray-walk kernel
         # (each = one masked (TS, 128) vector RMW); the round-2 floor is
-        # ~86 ns/visit on the v5e
+        # floor is ~37 ns/visit on the v5e (v8 kernel, PERF.md round 3)
         from lidar_slam_tpu.ops.raywalk import _resolve_version, visit_descriptors
         # the visit model only describes the v2+ packed-descriptor kernels;
         # if capacity limits ever force the v1 fallback (K too large for

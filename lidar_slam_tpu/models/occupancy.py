@@ -230,8 +230,8 @@ def build_logodds(
 
     backend selects the per-scan update engine:
       - "raywalk": the Pallas VMEM-resident ray-walk kernel
-        (ops/raywalk.py) — ~15x the compacted scatter path on TPU
-        (0.21 ms/scan at dataset scale, v3 affine kernel), bit-identical
+        (ops/raywalk.py) — ~18x the compacted scatter path on TPU
+        (0.18 ms/scan at dataset scale, v8 paired-visit kernel), bit-identical
         maps (interpreted off-TPU, so only sensible there for small test
         shapes);
       - "scatter": the XLA scatter-add; compact=True scatters only live
