@@ -186,3 +186,14 @@ def test_export_ply_roundtrip(tmp_path):
     pts = np.array([[float(v) for v in ln.split()[:3]]
                     for ln in lines[n_hdr:]])
     np.testing.assert_allclose(pts, np.concatenate([a, b]), atol=1e-5)
+
+
+def test_warmup_synthetic_clouds_align():
+    # the --synthetic CLI path: targets are rigid transforms of the model,
+    # so the seeded sweep must drive the normalized error to ~0
+    from lidar_slam_tpu.models import warmup
+
+    model = warmup.synthetic_model(n_points=600, seed=3)
+    target = warmup.synthetic_pc(model, idx=0, seed=3)
+    _, best_err, _ = warmup.best_icp_alignment(model, target, n_seeds=6)
+    assert best_err < 1e-3
