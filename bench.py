@@ -36,36 +36,6 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _devices_or_die(jax, timeout_s: float = 180.0):
-    """Initialize the backend with a watchdog.
-
-    jax.devices() over the tunneled TPU HANGS FOREVER (no error) when the
-    local relay is down (observed 2026-08-17: the relay process died and a
-    plain bench run blocked in backend init for 15+ minutes). A hung bench
-    is worse than a failed one — fail fast with a diagnosis instead."""
-    import threading
-
-    out = {}
-
-    def probe():
-        try:
-            out["devices"] = jax.devices()
-        except Exception as e:  # surfaced below
-            out["error"] = e
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive():
-        log(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s — "
-            "the TPU tunnel is almost certainly down (no listener on the "
-            "relay ports). Aborting instead of hanging.")
-        os._exit(3)
-    if "error" in out:
-        raise out["error"]
-    return out["devices"]
-
-
 def main():
     import jax
     import numpy as np
@@ -82,7 +52,8 @@ def main():
     from lidar_slam_tpu.ops import scan as scan_ops
     from lidar_slam_tpu.utils import io
 
-    dev = _devices_or_die(jax)[0]
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    dev = devices_or_die()[0]
     log(f"device: {dev} ({dev.platform})")
 
     log("generating dataset-20-shaped synthetic data (2 seeds)...")
@@ -269,8 +240,8 @@ def main():
 
         # ---- utilization vs the measured device floors (PERF.md) ----
         # map walk: tile visits actually executed by the ray-walk kernel
-        # (each = one masked (TS, 128) vector RMW); the round-2 floor is
-        # floor is ~37 ns/visit on the v5e (v8 kernel, PERF.md round 3)
+        # (each = one masked (TS, 128) vector RMW); the floor is
+        # ~37 ns/visit on the v5e (v8 kernel, PERF.md round 3)
         from lidar_slam_tpu.ops.raywalk import _resolve_version, visit_descriptors
         # the visit model only describes the v2+ packed-descriptor kernels;
         # if capacity limits ever force the v1 fallback (K too large for

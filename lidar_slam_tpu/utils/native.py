@@ -63,6 +63,7 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def _bind(path: str) -> Optional[ctypes.CDLL]:
+    lib = None
     try:
         lib = ctypes.CDLL(path)
         lib.slamio_read_png_info.argtypes = [
@@ -98,7 +99,17 @@ def _bind(path: str) -> Optional[ctypes.CDLL]:
         lib.slamio_dbscan.restype = ctypes.c_int
         return lib
     except (OSError, AttributeError):
-        # OSError: dlopen failure; AttributeError: missing export (stale .so)
+        # OSError: dlopen failure; AttributeError: missing export (stale .so).
+        # Must dlclose the failed mapping: glibc caches dlopen by path, so a
+        # retry after `make -B` would otherwise rebind the SAME stale image
+        # and fail again even though a good .so now exists on disk.
+        if lib is not None:
+            try:
+                import _ctypes
+
+                _ctypes.dlclose(lib._handle)
+            except Exception:
+                pass
         return None
 
 

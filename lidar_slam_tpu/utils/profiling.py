@@ -56,6 +56,42 @@ def device_timer(name: str, counters: Optional[Dict[str, float]] = None,
         print(f"[timing] {name}: {dt:.3f}s{rate}")
 
 
+def devices_or_die(timeout_s: float = 180.0):
+    """Initialize the JAX backend with a watchdog; return jax.devices().
+
+    jax.devices() over a tunneled TPU HANGS FOREVER (no error) when the
+    local relay is down (observed 2026-08-17: the relay process died and a
+    bench run blocked in backend init for 15+ minutes). A hung run is worse
+    than a failed one — every TPU entry point (bench.py, tools/*, the A/B
+    harnesses) should call this instead of a bare jax.devices() so a dead
+    tunnel dies fast with a diagnosis. The probe runs on a daemon thread
+    because the hung call itself is not interruptible."""
+    import os
+    import sys
+    import threading
+
+    out: Dict[str, object] = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # surfaced below
+            out["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s — "
+              "the TPU tunnel is almost certainly down (no listener on the "
+              "relay ports). Aborting instead of hanging.",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+    if "error" in out:
+        raise out["error"]
+    return out["devices"]
+
+
 @contextlib.contextmanager
 def debug_mode(nan_checks: bool = True):
     """Development mode: raise on NaNs produced by any jitted computation

@@ -81,6 +81,8 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(base, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    devices_or_die()
 
     from lidar_slam_tpu import sensors
     from lidar_slam_tpu.config import MapConfig, SlamConfig

@@ -59,6 +59,8 @@ def main(argv=None):
     from lidar_slam_tpu.ops import scan as scan_ops
     from lidar_slam_tpu.utils import io as io_utils
     from lidar_slam_tpu.utils.png import write_png
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    devices_or_die()
 
     cfg = SlamConfig(map=MapConfig.from_cli(args.res, args.width,
                                             args.height))

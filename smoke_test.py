@@ -14,7 +14,8 @@ def main():
     from lidar_slam_tpu.models import pose_graph
     from lidar_slam_tpu.utils import se2
 
-    print(f"jax {jax.__version__}, devices: {jax.devices()}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    print(f"jax {jax.__version__}, devices: {devices_or_die()}")
 
     # two poses, a prior at the origin, one between factor of (1, 0, 90deg)
     meas = se2.T_from_pose(jnp.asarray([[1.0, 0.0, np.pi / 2]]))

@@ -163,3 +163,24 @@ def test_device_nn_conforms_to_native_kdtree():
         np.testing.assert_allclose(chosen, ref_d2[diff], rtol=1e-5)
     assert diff.mean() < 0.001
     assert mask[dev_idx].all()  # masked-out targets never selected
+
+
+def test_stale_so_rebind_after_rebuild(tmp_path):
+    """A stale .so (missing newer exports) must not poison a later rebind of
+    the same path: _bind dlcloses the failed mapping, so after a rebuild the
+    retry in _load binds the NEW image. glibc caches dlopen by path — without
+    the dlclose the second _bind would silently return the stale library."""
+    import os
+    import shutil
+    import subprocess
+
+    stub = tmp_path / "stub.c"
+    stub.write_text("int slamio_unrelated(void) { return 1; }\n")
+    so = tmp_path / "libslamio_stale.so"
+    subprocess.run(["gcc", "-shared", "-fPIC", "-o", str(so), str(stub)],
+                   check=True)
+    assert native._bind(str(so)) is None  # stale: lacks every export
+    # "rebuild": the good library replaces the stale one at the SAME path
+    shutil.copy(os.path.abspath(native._lib_path()), so)
+    lib = native._bind(str(so))
+    assert lib is not None

@@ -63,7 +63,8 @@ def make_problem(seed, n=4956, interval=10):
 
 def main():
     cfg = PoseGraphConfig()
-    log(f"device: {jax.devices()[0]}  cfg: max_lm={cfg.max_lm_iters} "
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"device: {devices_or_die()[0]}  cfg: max_lm={cfg.max_lm_iters} "
         f"cg={cfg.cg_iters}")
     warm = make_problem(0)
     timed = make_problem(1)

@@ -42,7 +42,8 @@ def main():
     from lidar_slam_tpu.utils import io
 
     cfg = SlamConfig()
-    log(f"device: {jax.devices()[0]}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"device: {devices_or_die()[0]}")
     data = io.synthetic_dataset(n_steps=args.steps, n_rays=args.rays,
                                 seed=args.seed)
     counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)

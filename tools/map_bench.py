@@ -30,7 +30,8 @@ def log(m):
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4956
     cfg = SlamConfig()
-    log(f"device: {jax.devices()[0]}  n_steps={n_steps}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"device: {devices_or_die()[0]}  n_steps={n_steps}")
 
     def prep(seed):
         data = io.synthetic_dataset(n_steps=n_steps, n_rays=1081, seed=seed)

@@ -51,7 +51,8 @@ def main():
     poses = jnp.asarray(
         np.cumsum(rng.normal(0, 0.02, (n_steps, 3)), 0), jnp.float32)
     K = occupancy.adaptive_ray_cells(pts, masks, cfg, 30.0)
-    log(f"devices={len(jax.devices())} steps={n_steps} rays={n_rays} K={K}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"devices={len(devices_or_die())} steps={n_steps} rays={n_rays} K={K}")
 
     ref = None
     same = True

@@ -31,6 +31,8 @@ def timeit(fn, args_fn, n=3):
 
 
 def main():
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    devices_or_die()
     N = 4956
     rng = np.random.default_rng(0)
 

@@ -40,7 +40,8 @@ def main():
 
     cfg = SlamConfig()
     K = online.default_ray_cells(cfg)
-    log(f"device: {jax.devices()[0]}, K = {K}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"device: {devices_or_die()[0]}, K = {K}")
 
     def prep(seed):
         data = io.synthetic_dataset(n_steps=args.steps + 1, seed=seed)

@@ -186,7 +186,8 @@ def v6_full_grid_vmem():
 
 
 if __name__ == "__main__":
-    dev = jax.devices()[0]
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    dev = devices_or_die()[0]
     log(f"device: {dev} ({dev.platform})")
     probe("v6_full_grid_vmem", v6_full_grid_vmem)
     probe("v1_smem_stream", v1_smem_stream)

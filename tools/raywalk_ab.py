@@ -42,7 +42,8 @@ def main():
     from lidar_slam_tpu.utils import io
 
     cfg = SlamConfig()
-    log(f"device: {jax.devices()[0]}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"device: {devices_or_die()[0]}")
 
     def prep(seed):
         data = io.synthetic_dataset(n_steps=args.scans, n_rays=args.rays,

@@ -23,6 +23,8 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    devices_or_die()
 
     from lidar_slam_tpu.config import SlamConfig
     from lidar_slam_tpu.models import occupancy

@@ -168,7 +168,8 @@ def dense_pass(grid, delta):
 
 
 def main():
-    dev = jax.devices()[0]
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    dev = devices_or_die()[0]
     log(f"device: {dev} ({dev.platform})")
 
     for u in (657_408, 332_800):

@@ -29,7 +29,8 @@ def log(m):
 def main():
     chunks = [int(c) for c in sys.argv[1:]] or [64, 128, 256]
     cfg = SlamConfig()
-    log(f"device: {jax.devices()[0]}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"device: {devices_or_die()[0]}")
 
     data = io.synthetic_dataset(n_steps=4956, n_rays=1081, seed=20)
     counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)

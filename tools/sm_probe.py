@@ -47,7 +47,8 @@ def bench(fn, args_list, reps=20):
 
 def main():
     cfg = SlamConfig()
-    log(f"device: {jax.devices()[0]}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"device: {devices_or_die()[0]}")
     data = io.synthetic_dataset(n_steps=4956, n_rays=1081, seed=20)
     counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
     gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)

@@ -31,6 +31,8 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    devices_or_die()
     import numpy as np
 
     from lidar_slam_tpu.config import SlamConfig

@@ -18,6 +18,8 @@ def run_backend(platform):
     import jax
 
     jax.config.update("jax_platforms", platform)
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    devices_or_die()
     # fresh process state is cleanest, but jax allows platform switching
     # before first use; this script therefore runs each backend in a
     # subprocess when invoked as a whole (see main below).

@@ -36,7 +36,8 @@ def main():
 
     from lidar_slam_tpu.models import warmup
 
-    log(f"device: {jax.devices()[0]}")
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    log(f"device: {devices_or_die()[0]}")
 
     def make_cloud(seed):
         """A 3-D object-like cloud (box shell + noise) and a rigidly moved

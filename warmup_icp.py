@@ -24,6 +24,9 @@ if __name__ == "__main__":
                              "are not shipped)")
     args = parser.parse_args()
 
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+    devices_or_die()
+
     if args.synthetic:
         source_pc = warmup.synthetic_model()
     else:
