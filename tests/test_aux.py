@@ -54,3 +54,34 @@ def test_tic_toc(capsys):
     dt = profiling.toc(t, "X")
     assert dt >= 0
     assert "X took" in capsys.readouterr().out
+
+
+def test_devices_or_die_returns_devices():
+    from lidar_slam_tpu.utils.profiling import devices_or_die
+
+    devs = devices_or_die(timeout_s=60.0)
+    assert len(devs) >= 1
+
+
+def test_devices_or_die_kills_hung_backend_init():
+    """A hung jax.devices() (dead TPU tunnel) must exit(3) with a diagnosis
+    instead of blocking forever. Simulated in a subprocess with a patched
+    never-returning jax.devices and a short watchdog timeout."""
+    import subprocess
+    import sys
+
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "import time; jax.devices = lambda *a: time.sleep(3600);"
+        "from lidar_slam_tpu.utils.profiling import devices_or_die;"
+        "devices_or_die(timeout_s=1.0); print('unreachable')"
+    ) % repo
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert res.returncode == 3
+    assert "FATAL" in res.stderr
+    assert "unreachable" not in res.stdout
