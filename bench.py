@@ -36,10 +36,54 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _wait_for_tunnel(deadline_s: float = None):
+    """Hold off backend init until the TPU tunnel answers a probe.
+
+    The relay behind the tunnel occasionally dies (dead listener — backend
+    init then hangs forever) and may come back minutes later. A hung
+    in-process init cannot be retried (the first attempt wedges the client),
+    so the probe runs in SUBPROCESSES — strictly sequential, never
+    concurrent with this process's own init, which would wedge a healthy
+    tunnel. Returns True when a probe succeeds; False when the deadline
+    passes (the caller then initializes anyway and devices_or_die FATALs
+    with the diagnosis). Skipped entirely on non-axon platforms."""
+    import subprocess
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "900"))
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=120).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if attempt > 1:
+                log(f"tunnel probe ok on attempt {attempt} "
+                    f"({time.time() - t0:.0f}s)")
+            return True
+        waited = time.time() - t0
+        if waited + 120 > deadline_s:
+            log(f"tunnel probe still failing after {waited:.0f}s "
+                f"({attempt} attempts) — proceeding to the watchdog")
+            return False
+        log(f"tunnel probe {attempt} failed (rc={rc}, {waited:.0f}s in); "
+            "retrying in 120s")
+        time.sleep(120)
+
+
 def main():
     import jax
     import numpy as np
     import jax.numpy as jnp
+
+    _wait_for_tunnel()
 
     jax.config.update("jax_compilation_cache_dir",
                       str(pathlib_cache()))
