@@ -1,7 +1,9 @@
 """Benchmark: dataset-20-scale SLAM end-to-end on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "stages": {per-stage seconds}, "util": {per-stage utilization rows}}
+(the stages/util keys are omitted under BENCH_STAGES=0)
 
 Baseline (BASELINE.md, measured on the reference's own NumPy code, 1 CPU
 core, dataset-20 shapes: 4,956 steps x 1,081 rays):
@@ -119,9 +121,14 @@ def main():
     # headline is the BEST of the timed reps (each a full fresh-data run).
     warm = prep(20)
     timed_runs = [prep(21), prep(23), prep(24)]
-    # data-adaptive slot count (shared so all runs compile identically)
+    # data-adaptive slot count, shared so all runs compile identically —
+    # including the stage-timing seeds (22, 25): a stage seed needing more
+    # in-bounds cells than the e2e seeds would otherwise be silently
+    # tail-truncated, biasing the stage/util rows vs the e2e workload
     K = max(occupancy.adaptive_ray_cells(w[2], w[3], cfg.map, 30.0)
-            for w in [warm] + timed_runs)
+            for w in [warm] + timed_runs
+            + ([prep(22)[:5], prep(25)[:5]]
+               if os.environ.get("BENCH_STAGES") != "0" else []))
     log(f"adaptive ray slots K = {K}")
 
     def pipeline(inputs):
@@ -248,7 +255,11 @@ def main():
             # timer doesn't absorb it (the tunnel transfer of the 43 MB
             # point set otherwise lands in the odometry row)
             jax.block_until_ready((counts, gyro, points, masks, pts3))
-            np.asarray(counts[:1])
+            # real fetches from EVERY independent transfer: fetching counts
+            # alone does not force the (much larger) point arrays, whose
+            # stalled transfer would then land in the odometry row
+            np.asarray(counts[:1]); np.asarray(points[:1, :1])
+            np.asarray(masks[:1, :1]); np.asarray(pts3[:1, :1])
             t = time.time()
             poses_odom = odometry.poses_from_odometry(counts, gyro)
             np.asarray(poses_odom[:1])  # real fetch closes each timer

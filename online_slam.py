@@ -31,8 +31,10 @@ def build_parser():
     p.add_argument("--res", type=float, default=0.05)
     p.add_argument("--width", type=int, default=60)
     p.add_argument("--height", type=int, default=60)
-    p.add_argument("--window", type=int, default=8192,
-                   help="sliding-window capacity (n_max poses retained)")
+    p.add_argument("--window", type=int, default=None,
+                   help="sliding-window capacity (n_max poses retained); "
+                        "default 8192. Ignored with --resume (the "
+                        "checkpoint's ring buffers fix the window)")
     p.add_argument("--refine_every", type=int, default=0, metavar="S",
                    help="run the sliding-window pose-graph refinement "
                         "every S steps (0 = never)")
@@ -49,6 +51,19 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.resume:
+        # a missing checkpoint under --resume must NOT silently fall through
+        # to a fresh run: the final save_state would then OVERWRITE the path
+        # the operator believed held their state (wrong cwd / typo'd path).
+        # Validated before any backend/data work so the refusal is instant.
+        if not args.checkpoint:
+            raise SystemExit("--resume requires --checkpoint")
+        if not os.path.exists(args.checkpoint):
+            raise SystemExit(
+                f"--resume: checkpoint {args.checkpoint!r} does not exist "
+                "(refusing to start fresh and overwrite it; drop --resume "
+                "for a new run)")
 
     import jax
     import jax.numpy as jnp
@@ -94,8 +109,13 @@ def main(argv=None):
     K = online.default_ray_cells(cfg, rmax)
 
     start = 1
-    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+    if args.resume:
         st = online.load_state(args.checkpoint)
+        ck_window = int(st.poses_hist.shape[0])
+        if args.window is not None and args.window != ck_window:
+            print(f"warning: --window {args.window} ignored on resume; "
+                  f"the checkpoint's ring buffers fix the window at "
+                  f"{ck_window}", file=sys.stderr)
         start = int(st.step) + 1
         print(f"resumed from {args.checkpoint} at step {start - 1}",
               file=sys.stderr)
@@ -108,7 +128,7 @@ def main(argv=None):
                   file=sys.stderr)
     else:
         st = online.init_state(points[0], masks[0], cfg,
-                               n_max=args.window, K=K)
+                               n_max=args.window or 8192, K=K)
 
     # track row i = pose of global step (start - 1 + i): includes the
     # pre-loop pose so a fresh run covers step 0; a resumed run covers

@@ -93,3 +93,19 @@ def test_online_cli_dataset_mode(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "streamed" in r.stderr
     assert (tmp_path / "m.png").exists()
+
+
+def test_online_cli_resume_refuses_missing_checkpoint(tmp_path):
+    """--resume with a missing checkpoint must hard-error instead of
+    silently starting fresh and overwriting the path at the end
+    (round-3 review)."""
+    r = _run(["--synthetic", "10", "--resume",
+              "--checkpoint", str(tmp_path / "nope.npz")],
+             cwd=str(tmp_path), script="online_slam.py")
+    assert r.returncode != 0
+    assert "does not exist" in r.stderr
+    assert not (tmp_path / "nope.npz").exists()
+    r2 = _run(["--synthetic", "10", "--resume"],
+              cwd=str(tmp_path), script="online_slam.py")
+    assert r2.returncode != 0
+    assert "requires --checkpoint" in r2.stderr

@@ -89,8 +89,10 @@ def main():
     c_prev = None
     for i in range(int(ran.sum())):
         rel = "" if c_prev is None else f"  rel_drop={(c_prev - cost[i]) / max(c_prev, 1.0):.3e}"
-        # lambda_down on accept, lambda_up on reject
-        verdict = "accept" if (c_prev is None or lam[i] < lam[i - 1]) else "REJECT"
+        # lambda_down on accept, lambda_up on reject; iteration 0 compares
+        # against the configured lambda_init (lam[-1] would wrap around)
+        lam_before = pg.lambda_init if c_prev is None else lam[i - 1]
+        verdict = "accept" if lam[i] < lam_before else "REJECT"
         log(f"iter {i:2d}: cost={cost[i]:.9f}  lambda={lam[i]:.2e}  "
             f"stalls={int(stalls[i])}  {verdict}{rel}")
         c_prev = cost[i]

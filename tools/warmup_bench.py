@@ -40,23 +40,13 @@ def main():
     log(f"device: {devices_or_die()[0]}")
 
     def make_cloud(seed):
-        """A 3-D object-like cloud (box shell + noise) and a rigidly moved
-        copy with partial overlap — the warm-up problem shape."""
-        r = np.random.default_rng(seed)
-        n = args.points
-        face = r.integers(0, 6, n)
-        uv = r.uniform(-0.5, 0.5, (n, 2))
-        pts = np.zeros((n, 3))
-        axis = face // 2
-        sign = np.where(face % 2 == 0, 0.5, -0.5)
-        others = [(1, 2), (0, 2), (0, 1)]
-        for a in range(3):
-            m = axis == a
-            pts[m, a] = sign[m]
-            pts[m, others[a][0]] = uv[m, 0]
-            pts[m, others[a][1]] = uv[m, 1]
-        pts *= [0.2, 0.15, 0.3]
-        pts += r.normal(0, 0.002, pts.shape)
+        """The shared synthetic box-shell model (warmup.synthetic_model —
+        ONE recipe for the CLI, tests, and this bench) plus a rigidly moved
+        full copy. The copy is NOT subsampled like warmup.synthetic_pc:
+        the bench times repeated sweeps at one shape, and a per-seed target
+        size would recompile every rep."""
+        pts = warmup.synthetic_model(args.points, seed)
+        r = np.random.default_rng(seed + 1000)
         yaw = r.uniform(-np.pi, np.pi)
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
