@@ -103,6 +103,74 @@ def sharded_build_logodds(mesh: Mesh, cfg: MapConfig, K: int,
     return build
 
 
+def sharded_texture_paint(mesh: Mesh, map_cfg: MapConfig, cam_cfg,
+                          axis: str = "dp"):
+    """Return a jitted texture painter sharding FRAMES over `axis`.
+
+    The texture stage is the remaining embarrassingly-parallel hot path
+    (models/texture.py): painting is a scatter-max of GLOBAL point sequence
+    numbers (last-writer-wins, reference modules/texture_mapping.py:96), and
+    sequence numbers are unique — so per-device local paints combine exactly
+    with one pmax (the winner) plus one psum that selects the single
+    device holding each cell's winning color. Exact on any mesh.
+
+    Returned fn(winner, cell_color, disp, rgb, poses, frame_mask, base):
+      winner (W*H,) int32 / cell_color (W*H,) int32 — replicated carry from
+      earlier batches (init: -1 / 0); disp (B, H, W) float32|uint16,
+      rgb (B, H, W, 3) uint8, poses (B, 3), frame_mask (B,) bool (False =
+      padding frame, contributes nothing — B must be a multiple of the axis
+      size); base = global point index of frame 0 (frame-major, b*H*W per
+      processed batch, matching models/texture.generate_texture_map).
+    """
+    n_dev = mesh.shape[axis]
+
+    @jax.jit
+    def paint(winner, cell_color, disp, rgb, poses, frame_mask, base):
+        hw = disp.shape[1] * disp.shape[2]
+        b_local = disp.shape[0] // n_dev
+
+        def shard_fn(disp_l, rgb_l, poses_l, fmask_l):
+            from ..models.texture import frames_to_cells
+
+            lin, colors, _ = frames_to_cells(disp_l, rgb_l, poses_l,
+                                             map_cfg, cam_cfg)
+            # padding frames contribute nothing
+            fm = jnp.repeat(fmask_l, hw)
+            lin = jnp.where(fm, lin, -1)
+            base_l = base + jax.lax.axis_index(axis) * (b_local * hw)
+            seq = base_l + jnp.arange(lin.shape[0], dtype=jnp.int32)
+            upd = jnp.where(lin >= 0, seq, -1)
+            safe = jnp.where(lin >= 0, lin, 0)
+            # NB: build from the STATIC cell count, not full_like(winner):
+            # closing over the outer jit's sharded array inside shard_map
+            # trips the mesh-context check (Auto vs Manual)
+            local_w = jnp.full((map_cfg.width * map_cfg.height,), -1,
+                               jnp.int32).at[safe].max(upd)
+            local_c = jnp.where(
+                local_w >= 0,
+                jnp.take(colors, jnp.clip(local_w - base_l, 0,
+                                          colors.shape[0] - 1)),
+                0)
+            # cross-device combine: unique seq numbers => exactly one
+            # device matches the pmax wherever it is >= 0
+            wmax = jax.lax.pmax(local_w, axis)
+            sel = (local_w == wmax) & (wmax >= 0)
+            cmax = jax.lax.psum(jnp.where(sel, local_c, 0), axis)
+            return wmax, cmax
+
+        wmax, cmax = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+        )(disp, rgb, poses, frame_mask)
+
+        winner_new = jnp.maximum(winner, wmax)
+        cell_color = jnp.where(winner_new > winner, cmax, cell_color)
+        return winner_new, cell_color
+
+    return paint
+
+
 def pad_batch(x: jnp.ndarray, multiple: int, axis: int = 0,
               pad_value=0) -> Tuple[jnp.ndarray, int]:
     """Pad `axis` up to a multiple; returns (padded, pad_count)."""

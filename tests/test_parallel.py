@@ -124,3 +124,56 @@ def test_pad_batch():
     assert padded.shape == (8, 3) and pad == 3
     y, pad0 = sharding.pad_batch(x, 5)
     assert y.shape == (5, 3) and pad0 == 0
+
+
+def test_sharded_texture_paint_matches_sequential():
+    """Frame-sharded texture painting equals the sequential paint_cells
+    loop bit-for-bit: unique global sequence numbers make the scatter-max
+    winner (and so last-writer-wins color) mesh-invariant."""
+    from lidar_slam_tpu.config import CameraConfig
+    from lidar_slam_tpu.models import texture
+
+    cfg = MapConfig(resolution=0.2, world_max_x=6, world_min_x=-6,
+                    world_max_y=6, world_min_y=-6)
+    cam = CameraConfig()
+    rng = np.random.default_rng(7)
+    # 24x32 frames: the RGB-registration constants assume 480-px-scale
+    # geometry, and below ~24 rows no pixel passes the validity window
+    B, H, W = 16, 24, 32
+    disp = rng.integers(300, 900, (B, H, W)).astype(np.uint16)
+    rgb = rng.integers(0, 256, (B, H, W, 3)).astype(np.uint8)
+    poses = rng.normal(0, 0.8, (B, 3)).astype(np.float32)
+
+    # sequential reference: two batches through models/texture.paint_cells
+    cells = cfg.width * cfg.height
+    winner = jnp.full((cells,), -1, jnp.int32)
+    color = jnp.zeros((cells,), jnp.int32)
+    base = 0
+    for s in range(0, B, 8):
+        lin, cols, _ = texture.frames_to_cells(
+            jnp.asarray(disp[s:s + 8]), jnp.asarray(rgb[s:s + 8]),
+            jnp.asarray(poses[s:s + 8]), cfg, cam)
+        winner, color = texture.paint_cells(winner, color, lin, cols,
+                                            jnp.int32(base))
+        base += int(lin.shape[0])
+
+    # sharded: same frames in one 8-way call per batch (+ a padded batch
+    # exercising frame_mask)
+    m = mesh_lib.make_mesh(8)
+    paint = sharding.sharded_texture_paint(m, cfg, cam)
+    w2 = jnp.full((cells,), -1, jnp.int32)
+    c2 = jnp.zeros((cells,), jnp.int32)
+    base = 0
+    for s in range(0, B, 8):
+        w2, c2 = paint(w2, c2, jnp.asarray(disp[s:s + 8]),
+                       jnp.asarray(rgb[s:s + 8]), jnp.asarray(poses[s:s + 8]),
+                       jnp.ones((8,), bool), jnp.int32(base))
+        base += 8 * H * W
+    # padding frames must contribute nothing
+    w2, c2 = paint(w2, c2, jnp.asarray(disp[:8]), jnp.asarray(rgb[:8]),
+                   jnp.asarray(poses[:8]), jnp.zeros((8,), bool),
+                   jnp.int32(base))
+
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(winner))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(color))
+    assert int(jnp.sum(winner >= 0)) > 0  # something was painted
