@@ -1,2 +1,2 @@
-from . import (occupancy, odometry, pose_graph, scan_matching, slam,  # noqa: F401
-               texture, warmup)
+from . import (occupancy, odometry, particle_filter,  # noqa: F401
+               pose_graph, scan_matching, slam, texture, warmup)

@@ -1,0 +1,81 @@
+"""Particle-filter localization (models/particle_filter.py).
+
+The reference ships mapCorrelation as the scoring kernel for a particle
+filter it never builds (code/pr2_utils.py:12-43); these tests pin the
+completed capability: degenerate equivalence to dead reckoning, and real
+localization value — the filter corrects a deliberately biased odometry
+against the known map.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_slam_tpu.config import LidarConfig, MapConfig
+from lidar_slam_tpu.models import occupancy, odometry
+from lidar_slam_tpu.models import particle_filter as pf
+from lidar_slam_tpu.ops import scan as scan_ops
+from lidar_slam_tpu.utils import io
+
+
+@pytest.fixture(scope="module")
+def world():
+    cfg_map = MapConfig(resolution=0.1, world_max_x=15, world_min_x=-15,
+                        world_max_y=15, world_min_y=-15)
+    data = io.synthetic_dataset(n_steps=240, n_rays=181, seed=5)
+    gt = jnp.asarray(data["ground_truth"], jnp.float32)
+    counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
+    gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)
+    ranges = jnp.asarray(data["lidar"]["ranges"], jnp.float32)
+    points, masks = scan_ops.scans_to_points(ranges, 0.1, 30.0, LidarConfig())
+    K = occupancy.adaptive_ray_cells(points, masks, cfg_map, 30.0)
+    logodds = occupancy.build_logodds(gt, points, masks, cfg_map, K)
+    im = (logodds > 0).astype(jnp.float32)  # 1 at obstacles
+    return cfg_map, gt, counts, gyro, points, masks, im
+
+
+def _pos_err(poses, gt):
+    return np.linalg.norm(np.asarray(poses)[:, :2] - np.asarray(gt)[:, :2],
+                          axis=1)
+
+
+def test_zero_noise_equals_dead_reckoning(world):
+    """sigma=0, temperature=0: every particle IS the dead-reckoned pose and
+    weights stay uniform, so the estimate must equal poses_from_odometry
+    (pins the motion-model/step alignment against the odometry stage)."""
+    cfg_map, gt, counts, gyro, points, masks, im = world
+    cfg = pf.PFConfig(n_particles=8, sigma_v=0.0, sigma_w=0.0,
+                      temperature=0.0)
+    poses, aux = pf.localize_particle_filter(im, counts, gyro, points,
+                                             masks, cfg_map, cfg)
+    odo = odometry.poses_from_odometry(counts, gyro)
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(odo), atol=1e-5)
+    assert not bool(np.asarray(aux["resampled"]).any())  # Neff stays at P
+
+
+def test_tracks_ground_truth(world):
+    cfg_map, gt, counts, gyro, points, masks, im = world
+    cfg = pf.PFConfig(n_particles=128)
+    poses, aux = pf.localize_particle_filter(im, counts, gyro, points,
+                                             masks, cfg_map, cfg, x0=gt[0])
+    err = _pos_err(poses, gt)
+    assert err.mean() < 0.05  # measured ~0.009 on this seed
+    assert np.asarray(aux["neff"]).min() > 1.0
+    assert poses.shape == gt.shape
+
+
+def test_corrects_biased_odometry(world):
+    """15% encoder-scale bias: dead reckoning drifts (~0.30 m by the end);
+    the filter's map correlation pulls the estimate back (measured ~0.08 m
+    final, 3-4x lower mean error)."""
+    cfg_map, gt, counts, gyro, points, masks, im = world
+    biased = counts * 1.15
+    odo = odometry.poses_from_odometry(biased, gyro)
+    err_odo = _pos_err(odo, gt)
+    cfg = pf.PFConfig(n_particles=128)
+    poses, _ = pf.localize_particle_filter(im, biased, gyro, points, masks,
+                                           cfg_map, cfg, x0=gt[0])
+    err = _pos_err(poses, gt)
+    assert err_odo[-1] > 0.2          # the bias really does break odometry
+    assert err.mean() < 0.5 * err_odo.mean()
+    assert err[-1] < 0.15
