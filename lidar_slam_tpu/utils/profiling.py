@@ -56,7 +56,7 @@ def device_timer(name: str, counters: Optional[Dict[str, float]] = None,
         print(f"[timing] {name}: {dt:.3f}s{rate}")
 
 
-def devices_or_die(timeout_s: float = 180.0):
+def devices_or_die(timeout_s: float = 180.0, die: bool = True):
     """Initialize the JAX backend with a watchdog; return jax.devices().
 
     jax.devices() over a tunneled TPU HANGS FOREVER (no error) when the
@@ -82,9 +82,15 @@ def devices_or_die(timeout_s: float = 180.0):
     t.start()
     t.join(timeout_s)
     if t.is_alive():
-        print(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s — "
-              "the TPU tunnel is almost certainly down (no listener on the "
-              "relay ports). Aborting instead of hanging.",
+        msg = (f"jax.devices() did not return within {timeout_s:.0f}s — "
+               "the TPU tunnel is almost certainly down (no listener on the "
+               "relay ports).")
+        if not die:
+            # library/embedded contexts (e.g. the driver importing
+            # __graft_entry__): surface the diagnosis without killing the
+            # host process
+            raise RuntimeError(msg)
+        print(f"FATAL: {msg} Aborting instead of hanging.",
               file=sys.stderr, flush=True)
         os._exit(3)
     if "error" in out:
