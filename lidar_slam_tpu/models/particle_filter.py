@@ -94,6 +94,7 @@ def localize_particle_filter(
     cfg: PFConfig = PFConfig(),
     x0: jnp.ndarray | None = None,
     key: jax.Array | None = None,
+    init_particles: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Track the robot pose through a known map.
 
@@ -102,6 +103,11 @@ def localize_particle_filter(
     scans with masks (N, R); x0 (3,) initial pose. Step alignment matches
     odometry (reference modules/localization.py:60-93): step i uses
     encoder/gyro row i and is scored against scan i.
+
+    init_particles (n_particles, 3) overrides the all-at-x0 start — e.g. a
+    uniform spread over the map for GLOBAL (kidnapped-robot)
+    relocalization; row 0 of the returned track is still x0 (a
+    placeholder when the start is genuinely unknown).
 
     Returns ((N, 3) pose estimates, aux) where aux carries `neff` (N,)
     effective sample sizes and `resampled` (N,) bool (entries 0 are the
@@ -117,7 +123,10 @@ def localize_particle_filter(
     v_all = v_from_encoder(counts.astype(jnp.float32))  # (N,)
     wyaw_all = gyro[:, -1].astype(jnp.float32)          # (N,)
 
-    particles0 = jnp.broadcast_to(x0.astype(jnp.float32), (P, 3))
+    if init_particles is None:
+        particles0 = jnp.broadcast_to(x0.astype(jnp.float32), (P, 3))
+    else:
+        particles0 = jnp.asarray(init_particles, jnp.float32)
     logw0 = jnp.full((P,), -jnp.log(P), jnp.float32)
 
     def step(carry, inp):
