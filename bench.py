@@ -122,13 +122,15 @@ def main():
     warm = prep(20)
     timed_runs = [prep(21), prep(23), prep(24)]
     # data-adaptive slot count, shared so all runs compile identically —
-    # including the stage-timing seeds (22, 25): a stage seed needing more
-    # in-bounds cells than the e2e seeds would otherwise be silently
-    # tail-truncated, biasing the stage/util rows vs the e2e workload
+    # ALWAYS including the stage-timing seeds (22, 25): a stage seed
+    # needing more in-bounds cells than the e2e seeds would otherwise be
+    # silently tail-truncated, biasing the stage/util rows vs the e2e
+    # workload — and K must not depend on BENCH_STAGES, or the headline
+    # would compile a different map build under different env settings.
+    # The prepped stage tuples are kept and reused by the stage loop.
+    stage_runs = {s: prep(s) for s in (22, 25)}
     K = max(occupancy.adaptive_ray_cells(w[2], w[3], cfg.map, 30.0)
-            for w in [warm] + timed_runs
-            + ([prep(22)[:5], prep(25)[:5]]
-               if os.environ.get("BENCH_STAGES") != "0" else []))
+            for w in [warm] + timed_runs + list(stage_runs.values()))
     log(f"adaptive ray slots K = {K}")
 
     def pipeline(inputs):
@@ -250,7 +252,7 @@ def main():
         # overhead on the tunneled device even when the compile cache is
         # hot (measured), which would otherwise inflate the stage rows.
         for stage_seed in (22, 25):
-            counts, gyro, points, masks, pts3 = prep(stage_seed)
+            counts, gyro, points, masks, pts3 = stage_runs[stage_seed]
             # drain the prep transfer/compute queue so the first stage
             # timer doesn't absorb it (the tunnel transfer of the 43 MB
             # point set otherwise lands in the odometry row)

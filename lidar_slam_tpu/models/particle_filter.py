@@ -18,8 +18,10 @@ builds the filter; this model completes that capability TPU-first:
     keeping the step free of data-dependent control flow);
   - fixed shapes throughout: scans stay (R, 2) + validity mask.
 
-State estimate per step: weighted particle mean for x/y and a circular
-(vector-sum) weighted mean for yaw.
+State estimate per step: weighted particle mean for x/y; for yaw, the
+circular (vector-sum) weighted mean re-anchored to the unwrapped branch of
+the linear mean, so the returned track keeps cumulative-yaw continuity
+(matching poses_from_odometry) instead of snapping to (-pi, pi].
 """
 
 from __future__ import annotations
@@ -153,12 +155,19 @@ def localize_particle_filter(
         logw = logw - jax.scipy.special.logsumexp(logw)
         w = jnp.exp(logw)
 
-        # estimate: weighted mean (circular in yaw)
+        # estimate: weighted mean; yaw is the circular mean re-anchored to
+        # the UNWRAPPED branch of the weighted linear mean — particles carry
+        # cumulative yaw (like poses_from_odometry), and a raw atan2 mean
+        # would snap the track to (-pi, pi], injecting 2*pi jumps on any
+        # trajectory whose cumulative yaw leaves that interval
+        lin_yaw = jnp.sum(w * particles[:, 2])
+        circ = jnp.arctan2(jnp.sum(w * jnp.sin(particles[:, 2])),
+                           jnp.sum(w * jnp.cos(particles[:, 2])))
         est = jnp.array([
             jnp.sum(w * particles[:, 0]),
             jnp.sum(w * particles[:, 1]),
-            jnp.arctan2(jnp.sum(w * jnp.sin(particles[:, 2])),
-                        jnp.sum(w * jnp.cos(particles[:, 2]))),
+            lin_yaw + jnp.arctan2(jnp.sin(circ - lin_yaw),
+                                  jnp.cos(circ - lin_yaw)),
         ])
 
         # branchless systematic resample on Neff collapse

@@ -109,6 +109,10 @@ def main(argv=None):
     K = online.default_ray_cells(cfg, rmax)
 
     start = 1
+    window = 8192 if args.window is None else args.window
+    if window <= 0:
+        raise SystemExit(f"--window must be positive, got {window}")
+
     if args.resume:
         st = online.load_state(args.checkpoint)
         ck_window = int(st.poses_hist.shape[0])
@@ -128,7 +132,7 @@ def main(argv=None):
                   file=sys.stderr)
     else:
         st = online.init_state(points[0], masks[0], cfg,
-                               n_max=args.window or 8192, K=K)
+                               n_max=window, K=K)
 
     # track row i = pose of global step (start - 1 + i): includes the
     # pre-loop pose so a fresh run covers step 0; a resumed run covers

@@ -98,3 +98,23 @@ def test_relocalizes_from_uncertain_start(world):
     err = _pos_err(poses, gt)
     assert err[10] < 0.4    # locked on within 10 steps (measured ~0.11)
     assert err[-50:].mean() < 0.3  # and stays locked (measured ~0.095)
+
+
+def test_yaw_stays_unwrapped_past_pi(world):
+    """A trajectory whose cumulative yaw passes pi must not produce 2*pi
+    jumps: the estimate re-anchors the circular mean to the unwrapped
+    branch, preserving the zero-noise == dead-reckoning contract on
+    multi-turn paths."""
+    cfg_map, gt, counts, gyro, points, masks, im = world
+    n = counts.shape[0]
+    # constant turn: cumulative yaw reaches ~1.5 turns over the stream
+    gyro_turn = jnp.zeros((n, 3)).at[:, 2].set(3.0 * np.pi / (n * pf.PFConfig().dt))
+    cfg = pf.PFConfig(n_particles=8, sigma_v=0.0, sigma_w=0.0,
+                      temperature=0.0)
+    poses, _ = pf.localize_particle_filter(im, counts, gyro_turn, points,
+                                           masks, cfg_map, cfg)
+    odo = odometry.poses_from_odometry(counts, gyro_turn)
+    assert float(jnp.max(jnp.abs(poses[:, 2]))) > np.pi  # really unwrapped
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(odo), atol=1e-4)
+    dyaw = np.abs(np.diff(np.asarray(poses)[:, 2]))
+    assert dyaw.max() < 0.1  # no 2*pi discontinuities

@@ -72,7 +72,11 @@ def main():
     for rep in range(1, args.reps + 1):
         im, counts, gyro, points, masks, gt = prep(rep)
         jax.block_until_ready((im, counts, gyro, points, masks))
+        # real fetches from EVERY independent transfer (block_until_ready
+        # can return early on the tunneled device — CLAUDE.md)
         np.asarray(im[:1, :1]); np.asarray(points[:1, :1])
+        np.asarray(counts[:1]); np.asarray(gyro[:1])
+        np.asarray(masks[:1, :1]); np.asarray(gt[:1])
         t0 = time.time()
         poses, _ = pf.localize_particle_filter(im, counts, gyro, points,
                                                masks, map_cfg, cfg,
