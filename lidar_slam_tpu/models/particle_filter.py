@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +85,94 @@ def _systematic_resample(particles: jnp.ndarray, w: jnp.ndarray,
     return particles[jnp.clip(idx, 0, P - 1)]
 
 
+class PFState(NamedTuple):
+    """Streaming filter state: everything pf_step carries between scans."""
+
+    particles: jnp.ndarray  # (P, 3)
+    logw: jnp.ndarray       # (P,) normalized log-weights
+    key: jax.Array          # PRNG carry
+
+
+def init_pf_state(cfg: PFConfig = PFConfig(),
+                  x0: jnp.ndarray | None = None,
+                  key: jax.Array | None = None,
+                  init_particles: jnp.ndarray | None = None) -> PFState:
+    """Initial state: all particles at x0, or `init_particles` for a spread
+    (relocalization) start."""
+    P = cfg.n_particles
+    if x0 is None:
+        x0 = jnp.zeros(3, jnp.float32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if init_particles is None:
+        particles = jnp.broadcast_to(jnp.asarray(x0, jnp.float32), (P, 3))
+    else:
+        particles = jnp.asarray(init_particles, jnp.float32)
+    return PFState(particles=particles,
+                   logw=jnp.full((P,), -jnp.log(P), jnp.float32), key=key)
+
+
+@partial(jax.jit, static_argnames=("map_cfg", "cfg"))
+def pf_step(state: PFState, v_t, w_t, pts, mask, im,
+            map_cfg: MapConfig, cfg: PFConfig = PFConfig()):
+    """One streaming filter step (the serving analog of online.online_step).
+
+    v_t scalar velocity (from v_from_encoder), w_t scalar yaw rate, pts
+    (R, 2) robot-frame scan + mask, im (W, H) occupancy. Returns
+    (new_state, (est_pose (3,), neff, resampled)). The batch entry point
+    localize_particle_filter is exactly lax.scan over this function, so
+    streaming and batch tracks are identical by construction (pinned by
+    tests/test_particle_filter.py).
+    """
+    particles, logw, k = state
+    P = cfg.n_particles
+    k, k_v, k_w, k_u = jax.random.split(k, 4)
+
+    # predict: per-particle noisy diff-drive step (sinc-corrected,
+    # reference modules/localization.py:29-36)
+    v_p = v_t + cfg.sigma_v * jax.random.normal(k_v, (P,), jnp.float32)
+    w_p = w_t + cfg.sigma_w * jax.random.normal(k_w, (P,), jnp.float32)
+    dth = w_p * cfg.dt
+    kk = v_p * cfg.dt * _sinc_half(dth)
+    mid = particles[:, 2] + dth / 2.0
+    particles = jnp.stack([
+        particles[:, 0] + kk * jnp.cos(mid),
+        particles[:, 1] + kk * jnp.sin(mid),
+        particles[:, 2] + dth,
+    ], axis=-1)
+
+    # update: map-correlation log-weights, normalized via logsumexp
+    score = _score_particles(particles, pts, mask, im, map_cfg)
+    logw = logw + cfg.temperature * score
+    logw = logw - jax.scipy.special.logsumexp(logw)
+    w = jnp.exp(logw)
+
+    # estimate: weighted mean; yaw is the circular mean re-anchored to
+    # the UNWRAPPED branch of the weighted linear mean — particles carry
+    # cumulative yaw (like poses_from_odometry), and a raw atan2 mean
+    # would snap the track to (-pi, pi], injecting 2*pi jumps on any
+    # trajectory whose cumulative yaw leaves that interval
+    lin_yaw = jnp.sum(w * particles[:, 2])
+    circ = jnp.arctan2(jnp.sum(w * jnp.sin(particles[:, 2])),
+                       jnp.sum(w * jnp.cos(particles[:, 2])))
+    est = jnp.array([
+        jnp.sum(w * particles[:, 0]),
+        jnp.sum(w * particles[:, 1]),
+        lin_yaw + jnp.arctan2(jnp.sin(circ - lin_yaw),
+                              jnp.cos(circ - lin_yaw)),
+    ])
+
+    # branchless systematic resample on Neff collapse
+    neff = 1.0 / jnp.sum(w * w)
+    do_rs = neff < cfg.resample_frac * P
+    res = _systematic_resample(particles, w,
+                               jax.random.uniform(k_u, (), jnp.float32))
+    particles = jnp.where(do_rs, res, particles)
+    logw = jnp.where(do_rs, jnp.full_like(logw, -jnp.log(P)), logw)
+
+    return PFState(particles, logw, k), (est, neff, do_rs)
+
+
 @partial(jax.jit, static_argnames=("map_cfg", "cfg"))
 def localize_particle_filter(
     im: jnp.ndarray,
@@ -132,57 +220,14 @@ def localize_particle_filter(
     logw0 = jnp.full((P,), -jnp.log(P), jnp.float32)
 
     def step(carry, inp):
-        particles, logw, k = carry
         v_t, w_t, pts, mask = inp
-        k, k_v, k_w, k_u = jax.random.split(k, 4)
-
-        # predict: per-particle noisy diff-drive step (sinc-corrected,
-        # reference modules/localization.py:29-36)
-        v_p = v_t + cfg.sigma_v * jax.random.normal(k_v, (P,), jnp.float32)
-        w_p = w_t + cfg.sigma_w * jax.random.normal(k_w, (P,), jnp.float32)
-        dth = w_p * cfg.dt
-        kk = v_p * cfg.dt * _sinc_half(dth)
-        mid = particles[:, 2] + dth / 2.0
-        particles = jnp.stack([
-            particles[:, 0] + kk * jnp.cos(mid),
-            particles[:, 1] + kk * jnp.sin(mid),
-            particles[:, 2] + dth,
-        ], axis=-1)
-
-        # update: map-correlation log-weights, normalized via logsumexp
-        score = _score_particles(particles, pts, mask, im, map_cfg)
-        logw = logw + cfg.temperature * score
-        logw = logw - jax.scipy.special.logsumexp(logw)
-        w = jnp.exp(logw)
-
-        # estimate: weighted mean; yaw is the circular mean re-anchored to
-        # the UNWRAPPED branch of the weighted linear mean — particles carry
-        # cumulative yaw (like poses_from_odometry), and a raw atan2 mean
-        # would snap the track to (-pi, pi], injecting 2*pi jumps on any
-        # trajectory whose cumulative yaw leaves that interval
-        lin_yaw = jnp.sum(w * particles[:, 2])
-        circ = jnp.arctan2(jnp.sum(w * jnp.sin(particles[:, 2])),
-                           jnp.sum(w * jnp.cos(particles[:, 2])))
-        est = jnp.array([
-            jnp.sum(w * particles[:, 0]),
-            jnp.sum(w * particles[:, 1]),
-            lin_yaw + jnp.arctan2(jnp.sin(circ - lin_yaw),
-                                  jnp.cos(circ - lin_yaw)),
-        ])
-
-        # branchless systematic resample on Neff collapse
-        neff = 1.0 / jnp.sum(w * w)
-        do_rs = neff < cfg.resample_frac * P
-        res = _systematic_resample(particles, w,
-                                   jax.random.uniform(k_u, (), jnp.float32))
-        particles = jnp.where(do_rs, res, particles)
-        logw = jnp.where(do_rs, jnp.full_like(logw, -jnp.log(P)), logw)
-
-        return (particles, logw, k), (est, neff, do_rs)
+        new_state, out = pf_step(carry, v_t, w_t, pts, mask, im,
+                                 map_cfg, cfg)
+        return new_state, out
 
     inp = (v_all[1:], wyaw_all[1:], points[1:], masks[1:])
-    (_, _, _), (ests, neffs, flags) = jax.lax.scan(
-        step, (particles0, logw0, key), inp)
+    state0 = PFState(particles0, logw0, key)
+    _, (ests, neffs, flags) = jax.lax.scan(step, state0, inp)
 
     poses = jnp.concatenate([x0[None].astype(jnp.float32), ests], axis=0)
     aux = {

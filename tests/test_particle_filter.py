@@ -8,6 +8,7 @@ against the known map.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -118,3 +119,26 @@ def test_yaw_stays_unwrapped_past_pi(world):
     np.testing.assert_allclose(np.asarray(poses), np.asarray(odo), atol=1e-4)
     dyaw = np.abs(np.diff(np.asarray(poses)[:, 2]))
     assert dyaw.max() < 0.1  # no 2*pi discontinuities
+
+
+def test_streaming_step_equals_batch(world):
+    """pf_step driven one scan at a time reproduces the batch
+    localize_particle_filter track bit-for-bit (the batch entry is exactly
+    lax.scan over pf_step with the same PRNG carry)."""
+    cfg_map, gt, counts, gyro, points, masks, im = world
+    n = 40
+    cfg = pf.PFConfig(n_particles=64)
+    batch, _ = pf.localize_particle_filter(
+        im, counts[:n], gyro[:n], points[:n], masks[:n], cfg_map, cfg,
+        key=jax.random.PRNGKey(3))
+
+    st = pf.init_pf_state(cfg, key=jax.random.PRNGKey(3))
+    v_all = odometry.v_from_encoder(counts[:n].astype(jnp.float32))
+    track = [np.zeros(3, np.float32)]
+    for t in range(1, n):
+        st, (est, _, _) = pf.pf_step(st, v_all[t],
+                                     gyro[t, -1].astype(jnp.float32),
+                                     points[t], masks[t], im, cfg_map, cfg)
+        track.append(np.asarray(est))
+    np.testing.assert_allclose(np.stack(track), np.asarray(batch),
+                               atol=1e-6)
