@@ -61,6 +61,12 @@ def _score_particles(particles: jnp.ndarray, pts: jnp.ndarray,
     points contribute 0) — mapCorrelation's inner sum (reference:
     code/pr2_utils.py:30-42) with the offset grid replaced by the
     particle cloud.
+
+    Cell convention: world2grid (the OGM's ceil-1 indexing), NOT
+    pr2_utils' round-half-even — deliberately self-consistent with
+    build_logodds, so a scan scored at the pose it was mapped from hits
+    every endpoint cell exactly (pinned by
+    tests/test_particle_filter.py::test_score_consistent_with_map_builder).
     """
     c = jnp.cos(particles[:, 2])[:, None]
     s = jnp.sin(particles[:, 2])[:, None]

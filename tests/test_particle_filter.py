@@ -142,3 +142,25 @@ def test_streaming_step_equals_batch(world):
         track.append(np.asarray(est))
     np.testing.assert_allclose(np.stack(track), np.asarray(batch),
                                atol=1e-6)
+
+
+def test_score_consistent_with_map_builder():
+    """A scan scored at the EXACT pose it was mapped from must hit every
+    endpoint cell: _score_particles uses the same world2grid (ceil-1)
+    convention as build_logodds, so the score equals the ray count. An
+    off-by-one in either indexing chain breaks the equality."""
+    cfg = MapConfig(resolution=0.1, world_max_x=10, world_min_x=-10,
+                    world_max_y=10, world_min_y=-10)
+    R = 16
+    ang = np.linspace(0, 2 * np.pi, R, endpoint=False)
+    r = np.linspace(2.0, 5.0, R)
+    pts = np.stack([r * np.cos(ang), r * np.sin(ang)], -1).astype(np.float32)
+    pose = jnp.asarray([0.3, -0.2, 0.4], jnp.float32)
+    mask = jnp.ones((R,), bool)
+    K = occupancy.adaptive_ray_cells(pts[None], mask[None], cfg, 30.0)
+    logodds = occupancy.build_logodds(pose[None], jnp.asarray(pts)[None],
+                                      mask[None], cfg, K)
+    im = (logodds > 0).astype(jnp.float32)
+    assert int(im.sum()) == R  # distinct endpoint cells
+    score = pf._score_particles(pose[None], jnp.asarray(pts), mask, im, cfg)
+    assert float(score[0]) == R
