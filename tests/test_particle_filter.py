@@ -164,3 +164,23 @@ def test_score_consistent_with_map_builder():
     assert int(im.sum()) == R  # distinct endpoint cells
     score = pf._score_particles(pose[None], jnp.asarray(pts), mask, im, cfg)
     assert float(score[0]) == R
+
+
+def test_degenerate_inputs_no_nans(world):
+    """Fully masked scans and an all-zero map must not NaN the filter:
+    scores are identically 0, weights stay uniform, and the estimate is
+    pure (noisy) dead reckoning."""
+    cfg_map, gt, counts, gyro, points, masks, im = world
+    n = 30
+    cfg = pf.PFConfig(n_particles=16)
+    # empty scans
+    poses, aux = pf.localize_particle_filter(
+        im, counts[:n], gyro[:n], points[:n],
+        jnp.zeros_like(masks[:n]), cfg_map, cfg)
+    assert np.isfinite(np.asarray(poses)).all()
+    assert not bool(np.asarray(aux["resampled"]).any())  # uniform weights
+    # empty map
+    poses, _ = pf.localize_particle_filter(
+        jnp.zeros_like(im), counts[:n], gyro[:n], points[:n], masks[:n],
+        cfg_map, cfg)
+    assert np.isfinite(np.asarray(poses)).all()
