@@ -48,6 +48,7 @@ def icp_all_pairs(
     planar: bool = True,
     nn_backend: str = "auto",
     schedule: str = "phased",
+    partition: str = "argsort",
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -69,6 +70,13 @@ def icp_all_pairs(
     ~350.) The schedule changes only which pairs share a dispatch; every
     pair's iterate sequence (and the returned T/error/iteration count) is
     identical to schedule="chunked".
+
+    partition selects how the phased schedule computes the live-first
+    permutation: "argsort" (stable sort on the done flag) or "cumsum"
+    (2-pass stable partition building the IDENTICAL permutation — live
+    pairs in original order, then dead — via scatter; candidate
+    replacement for the per-phase ~log^2 n bitonic sort, kept behind this
+    switch until the intra-process TPU A/B bounds the gain).
     """
     B, P = src.shape[0], src.shape[1]
     if nn_backend == "auto":
@@ -146,7 +154,15 @@ def icp_all_pairs(
         # fori_loop below never touches a dead chunk (the earlier
         # map-with-cond visited all n_chunks, paying a predicate + branch
         # for each dead one — ~1,400 dead-chunk visits at dataset scale)
-        order = jnp.argsort(c.done, stable=True)
+        if partition == "cumsum":
+            live = ~c.done
+            n_live = jnp.sum(live)
+            pos = jnp.where(live, jnp.cumsum(live) - 1,
+                            n_live + jnp.cumsum(c.done) - 1)
+            order = jnp.zeros_like(pos).at[pos].set(
+                jnp.arange(pos.shape[0]))
+        else:
+            order = jnp.argsort(c.done, stable=True)
         c = tmap(lambda x: x[order], c)
         orig = orig[order]
         n_live_chunks = (jnp.sum(~c.done) + C - 1) // C
@@ -176,13 +192,14 @@ def icp_all_pairs(
     return c.T[inv][:B], c.err[inv][:B], c.k[inv][:B]
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk_size"))
+@partial(jax.jit, static_argnames=("cfg", "chunk_size", "partition"))
 def poses_from_scan_matching(
     x_ts: jnp.ndarray,
     points: jnp.ndarray,
     masks: jnp.ndarray,
     cfg: IcpConfig = IcpConfig(),
     chunk_size: int = 64,
+    partition: str = "argsort",
 ) -> ScanMatchResult:
     """Refine an odometry trajectory with batched consecutive-pair ICP.
 
@@ -205,7 +222,7 @@ def poses_from_scan_matching(
         epsilon=cfg.epsilon, max_iters=cfg.max_iters,
         stopping_thresh=cfg.stopping_thresh,
         normalize_error=cfg.normalize_error, chunk_size=chunk_size,
-        planar=True)
+        planar=True, partition=partition)
 
     rel2 = se2.TSE2_from_TSE3(T_icp)  # (N-1, 3, 3)
     chain = se2.compose_chain(rel2)  # (N, 3, 3)

@@ -143,3 +143,30 @@ def test_phased_schedule_matches_chunked():
                                rtol=0, atol=0)
     np.testing.assert_allclose(outs["chunked"][1], outs["phased"][1],
                                rtol=0, atol=0)
+
+
+def test_cumsum_partition_equals_argsort():
+    """partition="cumsum" builds the IDENTICAL live-first permutation as
+    the stable argsort, so every output (poses, errors, iteration counts)
+    must match exactly."""
+    import numpy as np
+
+    from lidar_slam_tpu.config import IcpConfig, LidarConfig
+    from lidar_slam_tpu.models import scan_matching
+    from lidar_slam_tpu.ops import scan as scan_ops
+    from lidar_slam_tpu.utils import io
+
+    data = io.synthetic_dataset(n_steps=90, n_rays=121, seed=11)
+    points, masks = scan_ops.scans_to_points(
+        jnp.asarray(data["lidar"]["ranges"], jnp.float32), 0.1, 30.0,
+        LidarConfig())
+    poses = jnp.asarray(data["ground_truth"], jnp.float32)
+    a = scan_matching.poses_from_scan_matching(
+        poses, points, masks, IcpConfig(), chunk_size=16)
+    b = scan_matching.poses_from_scan_matching(
+        poses, points, masks, IcpConfig(), chunk_size=16,
+        partition="cumsum")
+    np.testing.assert_array_equal(np.asarray(a.poses), np.asarray(b.poses))
+    np.testing.assert_array_equal(np.asarray(a.errors), np.asarray(b.errors))
+    np.testing.assert_array_equal(np.asarray(a.iters), np.asarray(b.iters))
+    assert int(jnp.max(a.iters)) > 1  # the phased path actually re-sorted

@@ -27,7 +27,10 @@ def log(m):
 
 
 def main():
-    chunks = [int(c) for c in sys.argv[1:]] or [64, 128, 256]
+    args = [a for a in sys.argv[1:]]
+    partitions = [a for a in args if a in ("argsort", "cumsum")]
+    chunks = [int(c) for c in args if c.isdigit()] or [64]
+    partitions = partitions or ["argsort"]
     cfg = SlamConfig()
     from lidar_slam_tpu.utils.profiling import devices_or_die
     log(f"device: {devices_or_die()[0]}")
@@ -39,16 +42,18 @@ def main():
     points, masks = scan_ops.scans_to_points(ranges, 0.1, 30.0, cfg.lidar)
     poses = odometry.poses_from_odometry(counts, gyro)
 
-    for chunk in chunks:
+    import itertools
+    for chunk, part in itertools.product(chunks, partitions):
         def run(p):
             sm = scan_matching.poses_from_scan_matching(
-                p, points, masks, cfg.icp, chunk_size=chunk)
+                p, points, masks, cfg.icp, chunk_size=chunk,
+                partition=part)
             return sm
 
         t0 = time.time()
         sm = run(poses)
         np.asarray(sm.poses)
-        log(f"chunk={chunk}: warm-up {time.time()-t0:.1f}s "
+        log(f"chunk={chunk} partition={part}: warm-up {time.time()-t0:.1f}s "
             f"(iters mean {float(jnp.mean(sm.iters)):.1f} "
             f"max {int(jnp.max(sm.iters))})")
         reps = 3
@@ -60,7 +65,7 @@ def main():
             sm = run(p)
         np.asarray(sm.poses)
         dt = (time.time() - t0) / reps
-        log(f"chunk={chunk}: {dt:.3f}s per run")
+        log(f"chunk={chunk} partition={part}: {dt:.3f}s per run")
 
 
 if __name__ == "__main__":
