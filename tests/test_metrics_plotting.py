@@ -62,3 +62,31 @@ def test_plot_trajectories_writes_files(tmp_path):
     img = _read_png_python(str(out2))
     assert img.shape == (800, 800, 3)
     assert (img < 250).any()  # something was drawn
+
+
+def test_compare_runs_cli(tmp_path):
+    """tools/compare_runs.py (README's accuracy tooling) emits a JSON
+    report with ATE/RPE and map-agreement blocks."""
+    import json
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(0)
+    ref = np.cumsum(rng.normal(0, 0.05, (50, 3)), axis=0)
+    est = ref + rng.normal(0, 0.01, ref.shape)
+    a = str(tmp_path / "est.npy"); b = str(tmp_path / "ref.npy")
+    np.save(a, est); np.save(b, ref)
+    m1 = rng.normal(0, 2, (40, 40)); m2 = m1 + rng.normal(0, 0.1, m1.shape)
+    ma = str(tmp_path / "ma.npy"); mb = str(tmp_path / "mb.npy")
+    np.save(ma, m1); np.save(mb, m2)
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "compare_runs.py"),
+         "--est", a, "--ref", b, "--est-map", ma, "--ref-map", mb],
+        capture_output=True, text=True, cwd=repo, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout)
+    assert rep["ate"]["rmse"] < 0.05
+    assert rep["rpe_1"]["trans_rmse"] < 0.1
+    assert 0.0 <= rep["map"]["accuracy"] <= 1.0
