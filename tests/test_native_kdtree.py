@@ -184,3 +184,23 @@ def test_stale_so_rebind_after_rebuild(tmp_path):
     shutil.copy(os.path.abspath(native._lib_path()), so)
     lib = native._bind(str(so))
     assert lib is not None
+
+
+def test_decoders_agree_on_reference_committed_pngs():
+    """Real-world codec conformance: the native libpng decoder and the pure
+    -Python fallback decode the reference's committed map/texture PNGs
+    (matplotlib-written RGBA, the only real image files in existence here)
+    pixel-identically."""
+    import glob
+    import os
+
+    from lidar_slam_tpu.utils.png import read_png
+
+    paths = sorted(glob.glob("/root/reference/images/*.png"))
+    if not paths:
+        pytest.skip("reference images not available")
+    for p in paths:
+        a = read_png(p)
+        b = native.read_png(p)
+        assert a.shape == b.shape and a.dtype == b.dtype, os.path.basename(p)
+        np.testing.assert_array_equal(a, b, err_msg=os.path.basename(p))
