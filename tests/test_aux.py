@@ -85,3 +85,22 @@ def test_devices_or_die_kills_hung_backend_init():
     assert res.returncode == 3
     assert "FATAL" in res.stderr
     assert "unreachable" not in res.stdout
+
+
+def test_bench_tunnel_wait_skips_off_axon(monkeypatch):
+    """bench._wait_for_tunnel must return immediately (no subprocess
+    probes) when the session is not on the axon tunnel platform."""
+    import importlib.util
+    import os
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    t0 = time.time()
+    assert bench._wait_for_tunnel() is True
+    assert time.time() - t0 < 1.0
