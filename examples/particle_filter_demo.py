@@ -22,7 +22,6 @@ if __name__ == "__main__":
                              "error (1.0 = unbiased)")
     args = parser.parse_args()
 
-    import jax
     from lidar_slam_tpu.utils.profiling import devices_or_die
     devices_or_die()
     import jax.numpy as jnp

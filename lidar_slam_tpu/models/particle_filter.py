@@ -212,18 +212,10 @@ def localize_particle_filter(
     P = cfg.n_particles
     if x0 is None:
         x0 = jnp.zeros(3, jnp.float32)
-    if key is None:
-        key = jax.random.PRNGKey(0)
     im = im.astype(jnp.float32)
 
     v_all = v_from_encoder(counts.astype(jnp.float32))  # (N,)
     wyaw_all = gyro[:, -1].astype(jnp.float32)          # (N,)
-
-    if init_particles is None:
-        particles0 = jnp.broadcast_to(x0.astype(jnp.float32), (P, 3))
-    else:
-        particles0 = jnp.asarray(init_particles, jnp.float32)
-    logw0 = jnp.full((P,), -jnp.log(P), jnp.float32)
 
     def step(carry, inp):
         v_t, w_t, pts, mask = inp
@@ -232,7 +224,7 @@ def localize_particle_filter(
         return new_state, out
 
     inp = (v_all[1:], wyaw_all[1:], points[1:], masks[1:])
-    state0 = PFState(particles0, logw0, key)
+    state0 = init_pf_state(cfg, x0, key, init_particles)
     _, (ests, neffs, flags) = jax.lax.scan(step, state0, inp)
 
     poses = jnp.concatenate([x0[None].astype(jnp.float32), ests], axis=0)

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MapConfig
 from ..models.occupancy import _compact_scan_update, resolve_map_backend
+from ..models.texture import frames_to_cells
 from ..ops.icp import run_icp_batch
 from ..ops.raywalk import scan_delta_raywalk
 
@@ -130,8 +131,6 @@ def sharded_texture_paint(mesh: Mesh, map_cfg: MapConfig, cam_cfg,
         b_local = disp.shape[0] // n_dev
 
         def shard_fn(disp_l, rgb_l, poses_l, fmask_l):
-            from ..models.texture import frames_to_cells
-
             lin, colors, _ = frames_to_cells(disp_l, rgb_l, poses_l,
                                              map_cfg, cam_cfg)
             # padding frames contribute nothing
