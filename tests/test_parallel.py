@@ -177,3 +177,45 @@ def test_sharded_texture_paint_matches_sequential():
     np.testing.assert_array_equal(np.asarray(w2), np.asarray(winner))
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(color))
     assert int(jnp.sum(winner >= 0)) > 0  # something was painted
+
+
+def test_sharded_texture_paint_on_two_axis_mesh():
+    """The frame shard rides 'dp' of a (dp=4, rp=2) mesh (the dryrun's
+    production mesh shape): results must equal the 1-axis 8-way mesh."""
+    from lidar_slam_tpu.config import CameraConfig
+    from lidar_slam_tpu.models import texture
+
+    cfg = MapConfig(resolution=0.2, world_max_x=6, world_min_x=-6,
+                    world_max_y=6, world_min_y=-6)
+    cam = CameraConfig()
+    rng = np.random.default_rng(3)
+    B, H, W = 8, 24, 32
+    disp = rng.integers(300, 900, (B, H, W)).astype(np.uint16)
+    rgb = rng.integers(0, 256, (B, H, W, 3)).astype(np.uint8)
+    poses = rng.normal(0, 0.8, (B, 3)).astype(np.float32)
+    cells = cfg.width * cfg.height
+    args = (jnp.asarray(disp), jnp.asarray(rgb), jnp.asarray(poses),
+            jnp.ones((B,), bool), jnp.int32(0))
+
+    m2 = mesh_lib.make_mesh(8, axes=("dp", "rp"))  # (4, 2)
+    dp = int(m2.shape["dp"])
+    w2, c2 = sharding.sharded_texture_paint(m2, cfg, cam)(
+        jnp.full((cells,), -1, jnp.int32), jnp.zeros((cells,), jnp.int32),
+        jnp.asarray(disp[:dp]), jnp.asarray(rgb[:dp]),
+        jnp.asarray(poses[:dp]), jnp.ones((dp,), bool), jnp.int32(0))
+
+    m1 = mesh_lib.make_mesh(8)
+    w1, c1 = sharding.sharded_texture_paint(m1, cfg, cam)(
+        jnp.full((cells,), -1, jnp.int32), jnp.zeros((cells,), jnp.int32),
+        *args)
+    # compare the first-dp-frames paint across mesh layouts via the
+    # sequential reference
+    lin, cols, _ = texture.frames_to_cells(
+        jnp.asarray(disp[:dp]), jnp.asarray(rgb[:dp]),
+        jnp.asarray(poses[:dp]), cfg, cam)
+    ws, cs = texture.paint_cells(jnp.full((cells,), -1, jnp.int32),
+                                 jnp.zeros((cells,), jnp.int32), lin, cols,
+                                 jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(ws))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(cs))
+    assert int(jnp.sum(w1 >= 0)) > 0

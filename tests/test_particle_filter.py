@@ -184,3 +184,21 @@ def test_degenerate_inputs_no_nans(world):
         jnp.zeros_like(im), counts[:n], gyro[:n], points[:n], masks[:n],
         cfg_map, cfg)
     assert np.isfinite(np.asarray(poses)).all()
+
+
+def test_systematic_resample_properties():
+    """Systematic resampling: counts proportional to weights (each particle
+    drawn floor(P*w) or ceil(P*w) times), deterministic in u."""
+    from lidar_slam_tpu.models.particle_filter import _systematic_resample
+
+    particles = jnp.arange(8, dtype=jnp.float32)[:, None] * jnp.ones((1, 3))
+    w = jnp.asarray([0.4, 0.2, 0.1, 0.1, 0.1, 0.05, 0.03, 0.02])
+    out = np.asarray(_systematic_resample(particles, w,
+                                          jnp.float32(0.37)))[:, 0]
+    counts = np.bincount(out.astype(int), minlength=8)
+    P = 8
+    for i in range(8):
+        assert np.floor(P * float(w[i])) <= counts[i] <= np.ceil(P * float(w[i]))
+    out2 = np.asarray(_systematic_resample(particles, w,
+                                           jnp.float32(0.37)))[:, 0]
+    np.testing.assert_array_equal(out, out2)
