@@ -202,3 +202,31 @@ def test_systematic_resample_properties():
     out2 = np.asarray(_systematic_resample(particles, w,
                                            jnp.float32(0.37)))[:, 0]
     np.testing.assert_array_equal(out, out2)
+
+
+@pytest.mark.slow
+def test_corrects_biased_odometry_full_scans():
+    """At full 1,081-ray scans the sum-scored posterior is sharper and the
+    correction stronger: 15% encoder bias drifts dead reckoning to ~0.30 m
+    by the end; the filter holds ~0.024 m mean / ~0.030 m final (10x)."""
+    cfg_map = MapConfig(resolution=0.1, world_max_x=15, world_min_x=-15,
+                        world_max_y=15, world_min_y=-15)
+    data = io.synthetic_dataset(n_steps=240, n_rays=1081, seed=5)
+    gt = jnp.asarray(data["ground_truth"], jnp.float32)
+    counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
+    gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)
+    points, masks = scan_ops.scans_to_points(
+        jnp.asarray(data["lidar"]["ranges"], jnp.float32), 0.1, 30.0,
+        LidarConfig())
+    K = occupancy.adaptive_ray_cells(points, masks, cfg_map, 30.0)
+    im = (occupancy.build_logodds(gt, points, masks, cfg_map, K)
+          > 0).astype(jnp.float32)
+    biased = counts * 1.15
+    err_odo = _pos_err(odometry.poses_from_odometry(biased, gyro), gt)
+    poses, _ = pf.localize_particle_filter(
+        im, biased, gyro, points, masks, cfg_map,
+        pf.PFConfig(n_particles=128), x0=gt[0])
+    err = _pos_err(poses, gt)
+    assert err_odo[-1] > 0.2
+    assert err.mean() < 0.08   # measured 0.024
+    assert err[-1] < 0.12      # measured 0.030
