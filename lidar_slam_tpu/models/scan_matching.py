@@ -48,7 +48,7 @@ def icp_all_pairs(
     planar: bool = True,
     nn_backend: str = "auto",
     schedule: str = "phased",
-    partition: str = "argsort",
+    partition: str = "cumsum",
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -72,11 +72,15 @@ def icp_all_pairs(
     identical to schedule="chunked".
 
     partition selects how the phased schedule computes the live-first
-    permutation: "argsort" (stable sort on the done flag) or "cumsum"
-    (2-pass stable partition building the IDENTICAL permutation — live
-    pairs in original order, then dead — via scatter; candidate
-    replacement for the per-phase ~log^2 n bitonic sort, kept behind this
-    switch until the intra-process TPU A/B bounds the gain).
+    permutation: "cumsum" (default; 2-pass stable partition via two
+    cumulative sums + one scatter) or "argsort" (stable sort on the done
+    flag — XLA lowers it to a ~log^2 n bitonic network over ~5k keys per
+    phase). Both build the IDENTICAL permutation (live pairs in original
+    order, then dead; CPU-equality-tested), so iterate sequences and
+    results are bit-identical. Intra-process TPU A/B at dataset-20 scale
+    (tools/sm_bench.py, 2026-08-18): cumsum 0.431 s/run vs argsort
+    0.762 s/run — the per-phase sort was most of the fixed-cost tail
+    over the chunk-iteration floor.
     """
     B, P = src.shape[0], src.shape[1]
     if nn_backend == "auto":
@@ -199,7 +203,7 @@ def poses_from_scan_matching(
     masks: jnp.ndarray,
     cfg: IcpConfig = IcpConfig(),
     chunk_size: int = 64,
-    partition: str = "argsort",
+    partition: str = "cumsum",
 ) -> ScanMatchResult:
     """Refine an odometry trajectory with batched consecutive-pair ICP.
 
