@@ -104,6 +104,87 @@ def sharded_build_logodds(mesh: Mesh, cfg: MapConfig, K: int,
     return build
 
 
+def sharded_build_logodds_scans(mesh: Mesh, cfg: MapConfig, K: int,
+                                axis: str = "dp", backend: str = "auto"):
+    """Return a jitted map builder sharding SCANS (the long axis) over `axis`.
+
+    The per-scan clipped update v -> clamp(v + delta_t, +/-clip) is a
+    clamp-affine function of the carried grid, and clamp-affine slope-1
+    functions compose associatively (ops/clamp_affine.py) — so the
+    sequential-in-time reference semantics (modules/ogm.py:149-188) admits
+    scan parallelism: device d walks its CONTIGUOUS block of N/D scans
+    locally, composing (a, lo, hi) grids; blocks merge with log2(D)
+    elementwise composes after one all_gather. Compare the ray-sharded
+    builder (sharded_build_logodds): that path keeps the sequential scan
+    over all N scans on every device and psums a full (W, H) grid PER SCAN
+    — N dependent collectives and N x grid_bytes of ICI traffic vs ONE
+    gather of 3 grids here, and each device walks only N/D scans instead
+    of N scans at R/D rays (the walk's per-scan fixed costs don't shrink
+    with ray count, so scan sharding is the one that actually divides the
+    map wall by D).
+
+    poses (N, 3), points (N, R, 2), masks (N, R), all sharded on scan axis
+    0; N must be a multiple of the axis size — pad with mask=False scans
+    (an all-masked scan contributes the identity function). Exactness: the
+    per-scan deltas come from the SAME engine as the single-chip build;
+    the composed result is bit-identical to sequential wherever the
+    running cell value never saturates at +/-clip and within a few ULPs at
+    saturated cells (analysis in ops/clamp_affine.py).
+
+    check_vma note: as in sharded_build_logodds, the raywalk branch runs
+    with check_vma=False (pallas interpret cannot thread varying-axis
+    metadata); the CPU-mesh equality tests pin the semantics.
+    """
+    from ..ops import clamp_affine as ca
+
+    backend = resolve_map_backend(backend)
+    n_dev = mesh.shape[axis]
+
+    @jax.jit
+    def build(poses, points, masks, init=None):
+        c = cfg.logodds_clip
+
+        def shard_fn(poses_l, points_l, masks_l):
+            def step(f, inp):
+                pose, pts, m = inp
+                if backend == "raywalk":
+                    delta = scan_delta_raywalk(
+                        pose, pts, m, cfg, K,
+                        interpret=jax.default_backend() != "tpu")
+                else:
+                    zeros = jax.lax.pcast(
+                        jnp.zeros((cfg.width, cfg.height), jnp.float32),
+                        axis, to="varying")
+                    delta = _compact_scan_update(zeros, pose, pts, m, cfg, K)
+                return ca.update(f, delta, c), None
+
+            f0 = ca.identity((cfg.width, cfg.height), c)
+            if backend != "raywalk":
+                # under vma checking the carry must be varying like the
+                # deltas (the raywalk branch runs check_vma=False)
+                f0 = jax.tree.map(
+                    lambda x: jax.lax.pcast(x, axis, to="varying"), f0)
+            f, _ = jax.lax.scan(step, f0, (poses_l, points_l, masks_l))
+            # stack a leading device axis for the P(axis) output
+            return jax.tree.map(lambda x: x[None], f)
+
+        fs = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis, None, None), P(axis, None)),
+            out_specs=ca.ClampAffine(P(axis), P(axis), P(axis)),
+            check_vma=backend != "raywalk",
+        )(poses, points, masks)
+
+        # merge blocks in scan order: F = f_{D-1} o ... o f_0, log2(D) depth
+        total = ca.compose_tree(
+            [jax.tree.map(lambda x: x[d], fs) for d in range(n_dev)])
+        v0 = (jnp.zeros((cfg.width, cfg.height), jnp.float32)
+              if init is None else init)
+        return ca.apply(total, v0)
+
+    return build
+
+
 def sharded_texture_paint(mesh: Mesh, map_cfg: MapConfig, cam_cfg,
                           axis: str = "dp"):
     """Return a jitted texture painter sharding FRAMES over `axis`.

@@ -219,3 +219,118 @@ def test_sharded_texture_paint_on_two_axis_mesh():
     np.testing.assert_array_equal(np.asarray(w2), np.asarray(ws))
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(cs))
     assert int(jnp.sum(w1 >= 0)) > 0
+
+
+def test_scan_sharded_map_matches_single_device():
+    """SCAN-parallel map build (clamp-affine composition over contiguous
+    scan blocks, ops/clamp_affine.py): 8-device result vs the sequential
+    single-device build."""
+    cfg = MapConfig(resolution=0.1, world_max_x=8, world_min_x=-8,
+                    world_max_y=8, world_min_y=-8)
+    rng = np.random.default_rng(7)
+    N, R = 16, 64  # N divisible by 8
+    poses = jnp.asarray(np.cumsum(rng.normal(0, 0.05, (N, 3)), axis=0),
+                        jnp.float32)
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    r = rng.uniform(0.3, 6.0, (N, R))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1),
+                      jnp.float32)
+    masks = jnp.asarray(rng.random((N, R)) > 0.05)
+    K = occupancy.max_ray_cells(cfg, 6.0)
+
+    ref = occupancy.build_logodds(poses, pts, masks, cfg, K)
+
+    m = mesh_lib.make_mesh(8)
+    build = sharding.sharded_build_logodds_scans(m, cfg, K)
+    got = build(poses, pts, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(occupancy.finalize_grid(got)),
+        np.asarray(occupancy.finalize_grid(ref)))
+
+
+def test_scan_sharded_map_saturating_cells():
+    """A stationary robot re-observing the same scene: cells saturate at
+    the +/-clip rails across MANY scans, exercising the clip-composition
+    path (not just pure sums). Deviations at the rails are bounded to ULP
+    scale (ops/clamp_affine.py analysis); the finalized uint8 map is
+    identical."""
+    cfg = MapConfig(resolution=0.1, world_max_x=8, world_min_x=-8,
+                    world_max_y=8, world_min_y=-8)
+    rng = np.random.default_rng(8)
+    N, R = 48, 32
+    # nearly-stationary poses; same rays re-observed with range jitter
+    poses = jnp.asarray(rng.normal(0, 0.01, (N, 3)), jnp.float32)
+    ang = np.tile(np.linspace(-np.pi, np.pi, R, endpoint=False), (N, 1))
+    r = 4.0 + rng.normal(0, 0.02, (N, R))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1),
+                      jnp.float32)
+    masks = jnp.ones((N, R), bool)
+    K = occupancy.max_ray_cells(cfg, 6.0)
+
+    ref = occupancy.build_logodds(poses, pts, masks, cfg, K)
+    assert float(jnp.max(jnp.abs(ref))) >= cfg.logodds_clip - 1e-6
+
+    m = mesh_lib.make_mesh(8)
+    build = sharding.sharded_build_logodds_scans(m, cfg, K)
+    got = build(poses, pts, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(occupancy.finalize_grid(got)),
+        np.asarray(occupancy.finalize_grid(ref)))
+
+
+def test_scan_sharded_map_raywalk_backend():
+    """Scan-parallel build dispatched to the PRODUCTION ray-walk engine
+    (interpret mode off-TPU) vs the unsharded scatter build."""
+    cfg = MapConfig(resolution=0.2, world_max_x=6, world_min_x=-6,
+                    world_max_y=6, world_min_y=-6)
+    rng = np.random.default_rng(9)
+    N, R = 8, 32
+    poses = jnp.asarray(np.cumsum(rng.normal(0, 0.05, (N, 3)), axis=0),
+                        jnp.float32)
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    r = rng.uniform(0.3, 5.0, (N, R))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1),
+                      jnp.float32)
+    masks = jnp.asarray(rng.random((N, R)) > 0.05)
+    K = occupancy.max_ray_cells(cfg, 6.0)
+
+    ref = occupancy.build_logodds(poses, pts, masks, cfg, K,
+                                  backend="scatter")
+    m = mesh_lib.make_mesh(8)
+    build = sharding.sharded_build_logodds_scans(m, cfg, K,
+                                                 backend="raywalk")
+    got = build(poses, pts, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_scan_sharded_map_padded_scans_and_init():
+    """N not a multiple of the mesh: pad with mask=False scans (identity
+    functions) and start from a nonzero carried grid."""
+    cfg = MapConfig(resolution=0.2, world_max_x=6, world_min_x=-6,
+                    world_max_y=6, world_min_y=-6)
+    rng = np.random.default_rng(10)
+    N, R = 11, 32
+    poses = jnp.asarray(np.cumsum(rng.normal(0, 0.05, (N, 3)), axis=0),
+                        jnp.float32)
+    ang = rng.uniform(-np.pi, np.pi, (N, R))
+    r = rng.uniform(0.3, 5.0, (N, R))
+    pts = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1),
+                      jnp.float32)
+    masks = jnp.asarray(rng.random((N, R)) > 0.05)
+    K = occupancy.max_ray_cells(cfg, 6.0)
+    init = jnp.clip(
+        jnp.asarray(rng.normal(0, 2.0, (cfg.width, cfg.height)), jnp.float32),
+        -cfg.logodds_clip, cfg.logodds_clip)
+
+    ref = occupancy.build_logodds(poses, pts, masks, cfg, K, init=init)
+
+    poses_p, _ = sharding.pad_batch(poses, 8)
+    pts_p, _ = sharding.pad_batch(pts, 8)
+    masks_p, _ = sharding.pad_batch(masks, 8, pad_value=False)
+
+    m = mesh_lib.make_mesh(8)
+    build = sharding.sharded_build_logodds_scans(m, cfg, K)
+    got = build(poses_p, pts_p, masks_p, init=init)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
