@@ -1,13 +1,17 @@
-"""Measured multi-device scaling of the ray-sharded map build.
+"""Measured multi-device scaling of the sharded map builders.
 
-Times sharded_build_logodds on 1/2/4/8 virtual CPU devices (VERDICT r1 #8:
-replace the modeled multi-chip numbers with measured-on-mesh data).
+Times sharded_build_logodds (ray-sharded, psum per scan) AND
+sharded_build_logodds_scans (scan-parallel, clamp-affine composition) on
+1/2/4/8 virtual CPU devices (VERDICT r1 #8: replace the modeled
+multi-chip numbers with measured-on-mesh data).
 
 CAVEAT on interpretation: the virtual devices timeshare ONE physical CPU
-core, so wall-clock here measures the sharding overhead (psum, partitioned
-program), not real-chip speedup. The quantity that transfers to real chips
-is the per-device scattered-slot count (reported below): scatter cost
-scales with slots (PERF.md), and each device processes R/n_dev rays.
+core, so wall-clock here measures the sharding overhead (collectives,
+partitioned program), not real-chip speedup. The quantities that transfer
+to real chips are reported per row: per-device work (scattered slots for
+the ray split; SCANS WALKED for the scan split — the walk's cost unit)
+and the collective budget (the ray split moves one full grid per scan
+over ICI; the scan split gathers 3 grids once).
 
     python tools/multichip_scaling.py [n_steps]
 """
@@ -73,7 +77,27 @@ def main():
         log(f"n_dev={n_dev}: {dt:6.2f}s wall (virtual mesh, 1 core) | "
             f"per-device slots/scan = {slots_per_dev:,} "
             f"({n_rays // n_dev} rays x {K})")
-    log(f"maps across mesh sizes agree (atol 1e-4): {same}")
+    log(f"ray-sharded maps across mesh sizes agree (atol 1e-4): {same}")
+
+    grid_mb = cfg.width * cfg.height * 4 / 1e6
+    log("--- scan-parallel (clamp-affine composition) ---")
+    same = True
+    for n_dev in (1, 2, 4, 8):
+        m = mesh_lib.make_mesh(n_dev)
+        build = sharding.sharded_build_logodds_scans(m, cfg, K)
+        g_check = build(poses, pts, masks)
+        g_check.block_until_ready()
+        same &= bool((np.abs(np.asarray(g_check) - ref) < 1e-4).all())
+        t0 = time.time()
+        g = build(poses + 1e-6 * float(n_dev), pts, masks)
+        g.block_until_ready()
+        dt = time.time() - t0
+        log(f"n_dev={n_dev}: {dt:6.2f}s wall (virtual mesh, 1 core) | "
+            f"per-device scans walked = {n_steps // n_dev} (of {n_steps}) | "
+            f"ICI: 1 gather of {3 * n_dev * grid_mb:.0f} MB total "
+            f"(ray split: {n_steps} psums = {n_steps * grid_mb:,.0f} MB)")
+    log(f"scan-parallel maps match the ray-sharded reference "
+        f"(atol 1e-4): {same}")
 
 
 if __name__ == "__main__":
