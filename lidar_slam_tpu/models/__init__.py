@@ -1,2 +1,2 @@
 from . import (occupancy, odometry, particle_filter,  # noqa: F401
-               pose_graph, scan_matching, slam, texture, warmup)
+               pf_slam, pose_graph, scan_matching, slam, texture, warmup)

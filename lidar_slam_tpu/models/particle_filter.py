@@ -96,6 +96,40 @@ def _systematic_resample(particles: jnp.ndarray, w: jnp.ndarray,
     return particles[jnp.clip(idx, 0, P - 1)]
 
 
+def _predict_particles(particles: jnp.ndarray, v_t, w_t,
+                       k_v: jax.Array, k_w: jax.Array,
+                       cfg: PFConfig) -> jnp.ndarray:
+    """Per-particle noisy diff-drive step (sinc-corrected, reference
+    modules/localization.py:29-36). Shared by pf_step and pf_slam_step so
+    the two filters' motion models cannot drift apart."""
+    P = particles.shape[0]
+    v_p = v_t + cfg.sigma_v * jax.random.normal(k_v, (P,), jnp.float32)
+    w_p = w_t + cfg.sigma_w * jax.random.normal(k_w, (P,), jnp.float32)
+    dth = w_p * cfg.dt
+    kk = v_p * cfg.dt * _sinc_half(dth)
+    mid = particles[:, 2] + dth / 2.0
+    return jnp.stack([
+        particles[:, 0] + kk * jnp.cos(mid),
+        particles[:, 1] + kk * jnp.sin(mid),
+        particles[:, 2] + dth,
+    ], axis=-1)
+
+
+def _estimate_pose(particles: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted particle mean; yaw is the circular mean re-anchored to the
+    unwrapped branch of the weighted linear mean (cumulative-yaw continuity,
+    matching poses_from_odometry — see module docstring)."""
+    lin_yaw = jnp.sum(w * particles[:, 2])
+    circ = jnp.arctan2(jnp.sum(w * jnp.sin(particles[:, 2])),
+                       jnp.sum(w * jnp.cos(particles[:, 2])))
+    return jnp.array([
+        jnp.sum(w * particles[:, 0]),
+        jnp.sum(w * particles[:, 1]),
+        lin_yaw + jnp.arctan2(jnp.sin(circ - lin_yaw),
+                              jnp.cos(circ - lin_yaw)),
+    ])
+
+
 class PFState(NamedTuple):
     """Streaming filter state: everything pf_step carries between scans."""
 
@@ -123,9 +157,10 @@ def init_pf_state(cfg: PFConfig = PFConfig(),
                    logw=jnp.full((P,), -jnp.log(P), jnp.float32), key=key)
 
 
-@partial(jax.jit, static_argnames=("map_cfg", "cfg"))
+@partial(jax.jit, static_argnames=("map_cfg", "cfg", "score_fn"))
 def pf_step(state: PFState, v_t, w_t, pts, mask, im,
-            map_cfg: MapConfig, cfg: PFConfig = PFConfig()):
+            map_cfg: MapConfig, cfg: PFConfig = PFConfig(),
+            score_fn=None):
     """One streaming filter step (the serving analog of online.online_step).
 
     v_t scalar velocity (from v_from_encoder), w_t scalar yaw rate, pts
@@ -134,6 +169,13 @@ def pf_step(state: PFState, v_t, w_t, pts, mask, im,
     localize_particle_filter is exactly lax.scan over this function, so
     streaming and batch tracks are identical by construction (pinned by
     tests/test_particle_filter.py).
+
+    score_fn overrides the scoring kernel — same signature as the default
+    `(particles, pts, mask, im) -> (P,) scores`. The multi-chip path
+    (parallel/sharding.sharded_pf_score) shards exactly this call over the
+    mesh (the (P, R) scoring is the filter's only super-O(P) work); all
+    other per-step math stays replicated, which keeps the sharded filter
+    bitwise identical to the single-device one.
     """
     particles, logw, k = state
     P = cfg.n_particles
@@ -141,37 +183,20 @@ def pf_step(state: PFState, v_t, w_t, pts, mask, im,
 
     # predict: per-particle noisy diff-drive step (sinc-corrected,
     # reference modules/localization.py:29-36)
-    v_p = v_t + cfg.sigma_v * jax.random.normal(k_v, (P,), jnp.float32)
-    w_p = w_t + cfg.sigma_w * jax.random.normal(k_w, (P,), jnp.float32)
-    dth = w_p * cfg.dt
-    kk = v_p * cfg.dt * _sinc_half(dth)
-    mid = particles[:, 2] + dth / 2.0
-    particles = jnp.stack([
-        particles[:, 0] + kk * jnp.cos(mid),
-        particles[:, 1] + kk * jnp.sin(mid),
-        particles[:, 2] + dth,
-    ], axis=-1)
+    particles = _predict_particles(particles, v_t, w_t, k_v, k_w, cfg)
 
     # update: map-correlation log-weights, normalized via logsumexp
-    score = _score_particles(particles, pts, mask, im, map_cfg)
+    if score_fn is None:
+        score = _score_particles(particles, pts, mask, im, map_cfg)
+    else:
+        score = score_fn(particles, pts, mask, im)
     logw = logw + cfg.temperature * score
     logw = logw - jax.scipy.special.logsumexp(logw)
     w = jnp.exp(logw)
 
-    # estimate: weighted mean; yaw is the circular mean re-anchored to
-    # the UNWRAPPED branch of the weighted linear mean — particles carry
-    # cumulative yaw (like poses_from_odometry), and a raw atan2 mean
-    # would snap the track to (-pi, pi], injecting 2*pi jumps on any
-    # trajectory whose cumulative yaw leaves that interval
-    lin_yaw = jnp.sum(w * particles[:, 2])
-    circ = jnp.arctan2(jnp.sum(w * jnp.sin(particles[:, 2])),
-                       jnp.sum(w * jnp.cos(particles[:, 2])))
-    est = jnp.array([
-        jnp.sum(w * particles[:, 0]),
-        jnp.sum(w * particles[:, 1]),
-        lin_yaw + jnp.arctan2(jnp.sin(circ - lin_yaw),
-                              jnp.cos(circ - lin_yaw)),
-    ])
+    # estimate: weighted mean with the cumulative-yaw-continuous circular
+    # yaw mean (see _estimate_pose)
+    est = _estimate_pose(particles, w)
 
     # branchless systematic resample on Neff collapse
     neff = 1.0 / jnp.sum(w * w)
@@ -184,7 +209,7 @@ def pf_step(state: PFState, v_t, w_t, pts, mask, im,
     return PFState(particles, logw, k), (est, neff, do_rs)
 
 
-@partial(jax.jit, static_argnames=("map_cfg", "cfg"))
+@partial(jax.jit, static_argnames=("map_cfg", "cfg", "score_fn"))
 def localize_particle_filter(
     im: jnp.ndarray,
     counts: jnp.ndarray,
@@ -196,6 +221,7 @@ def localize_particle_filter(
     x0: jnp.ndarray | None = None,
     key: jax.Array | None = None,
     init_particles: jnp.ndarray | None = None,
+    score_fn=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Track the robot pose through a known map.
 
@@ -212,7 +238,8 @@ def localize_particle_filter(
 
     Returns ((N, 3) pose estimates, aux) where aux carries `neff` (N,)
     effective sample sizes and `resampled` (N,) bool (entries 0 are the
-    initial-state placeholders).
+    initial-state placeholders). score_fn as in pf_step (multi-chip
+    particle-sharded scoring — parallel/sharding.sharded_pf_score).
     """
     P = cfg.n_particles
     if x0 is None:
@@ -225,7 +252,7 @@ def localize_particle_filter(
     def step(carry, inp):
         v_t, w_t, pts, mask = inp
         new_state, out = pf_step(carry, v_t, w_t, pts, mask, im,
-                                 map_cfg, cfg)
+                                 map_cfg, cfg, score_fn)
         return new_state, out
 
     inp = (v_all[1:], wyaw_all[1:], points[1:], masks[1:])

@@ -251,6 +251,46 @@ def sharded_texture_paint(mesh: Mesh, map_cfg: MapConfig, cam_cfg,
     return paint
 
 
+def sharded_pf_score(mesh: Mesh, map_cfg: MapConfig, axis: str = "dp"):
+    """Return a particle-sharded scoring kernel for the particle-filter
+    models (signature of particle_filter._score_particles minus map_cfg:
+    (particles (P, 3), pts (R, 2), mask (R,), im (W, H)) -> (P,) scores).
+
+    The (P, R) map-correlation scoring is the filter's only super-O(P)
+    work (models/particle_filter.py), so the multi-chip strategy shards
+    exactly that: each device scores its P/D particle block against the
+    replicated scan and map (scores are per-particle row sums — no
+    cross-particle math), and one all_gather replicates the (P,) result.
+    Every other per-step op (weights, logsumexp, estimate, resample) is
+    O(P) scalar work that stays replicated, which makes the sharded filter
+    BIT-IDENTICAL to the single-device one — pinned by
+    tests/test_parallel.py on the 8-device CPU mesh.
+
+    P must be a multiple of the axis size. Pass the result as `score_fn`
+    to pf_step / localize_particle_filter / pf_slam_step /
+    slam_particle_filter.
+    """
+    from ..models.particle_filter import _score_particles
+
+    rep = NamedSharding(mesh, P())
+
+    def score(particles, pts, mask, im):
+        def shard_fn(particles_l, pts_r, mask_r, im_r):
+            return _score_particles(particles_l, pts_r, mask_r, im_r,
+                                    map_cfg)
+
+        out = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis), P(), P(), P()),
+            out_specs=P(axis),
+        )(particles, pts, mask, im)
+        # replicate: downstream weight/estimate/resample math runs the
+        # same full-(P,) program on every device, exactly as single-chip
+        return jax.lax.with_sharding_constraint(out, rep)
+
+    return score
+
+
 def pad_batch(x: jnp.ndarray, multiple: int, axis: int = 0,
               pad_value=0) -> Tuple[jnp.ndarray, int]:
     """Pad `axis` up to a multiple; returns (padded, pad_count)."""

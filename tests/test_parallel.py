@@ -334,3 +334,91 @@ def test_scan_sharded_map_padded_scans_and_init():
     build = sharding.sharded_build_logodds_scans(m, cfg, K)
     got = build(poses_p, pts_p, masks_p, init=init)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_pf_score_bitwise_and_filter_equality():
+    """Particle-sharded scoring (sharding.sharded_pf_score): the (P, R)
+    scoring is per-particle row sums, so sharding particles and gathering
+    must be BIT-IDENTICAL to the single-device kernel. The whole filter
+    track then agrees to float tolerance — the replicated downstream math
+    is the same ops but a different executable (GSPMD), so fusion may
+    differ by ULPs (measured max 7e-8 over 48 steps)."""
+    from lidar_slam_tpu.config import LidarConfig
+    from lidar_slam_tpu.models import particle_filter as pf
+    from lidar_slam_tpu.ops import scan as scan_ops
+    from lidar_slam_tpu.utils import io
+
+    cfg_map = MapConfig(resolution=0.1, world_max_x=15, world_min_x=-15,
+                        world_max_y=15, world_min_y=-15)
+    data = io.synthetic_dataset(n_steps=48, n_rays=181, seed=5)
+    gt = jnp.asarray(data["ground_truth"], jnp.float32)
+    counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
+    gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)
+    ranges = jnp.asarray(data["lidar"]["ranges"], jnp.float32)
+    points, masks = scan_ops.scans_to_points(ranges, 0.1, 30.0,
+                                             LidarConfig())
+    K = int(occupancy.adaptive_ray_cells(points, masks, cfg_map, 30.0))
+    logodds = occupancy.build_logodds(gt, points, masks, cfg_map, K)
+    im = (logodds > 0).astype(jnp.float32)
+
+    m = mesh_lib.make_mesh(8)
+    score_fn = sharding.sharded_pf_score(m, cfg_map)
+    cfg = pf.PFConfig(n_particles=64)  # divisible by the 8-device axis
+
+    # kernel-level bitwise equality on a spread particle cloud
+    rng = np.random.default_rng(3)
+    particles = jnp.asarray(
+        np.asarray(gt[7])[None] + rng.normal(0, 0.3, (64, 3)), jnp.float32)
+    ref = pf._score_particles(particles, points[7, :, :2], masks[7], im,
+                              cfg_map)
+    got = score_fn(particles, points[7, :, :2], masks[7], im)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # whole-filter equality (same PRNG stream, replicated everything else)
+    biased = counts * 1.10
+    ref_poses, ref_aux = pf.localize_particle_filter(
+        im, biased, gyro, points[..., :2], masks, cfg_map, cfg, x0=gt[0])
+    got_poses, got_aux = pf.localize_particle_filter(
+        im, biased, gyro, points[..., :2], masks, cfg_map, cfg, x0=gt[0],
+        score_fn=score_fn)
+    np.testing.assert_allclose(np.asarray(got_poses),
+                               np.asarray(ref_poses), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_aux["resampled"]),
+                                  np.asarray(ref_aux["resampled"]))
+
+
+def test_sharded_pf_score_in_pf_slam():
+    """The same sharded scorer drops into pf_slam_step: the causal-map SLAM
+    track matches the single-device run (tolerance as in the test above;
+    the map may differ only where a ULP-level pose diff crosses a
+    world2grid cell boundary — bounded to a trace fraction of cells)."""
+    from lidar_slam_tpu.config import LidarConfig
+    from lidar_slam_tpu.models import pf_slam
+    from lidar_slam_tpu.models.particle_filter import PFConfig
+    from lidar_slam_tpu.ops import scan as scan_ops
+    from lidar_slam_tpu.utils import io
+
+    cfg_map = MapConfig(resolution=0.1, world_max_x=15, world_min_x=-15,
+                        world_max_y=15, world_min_y=-15)
+    data = io.synthetic_dataset(n_steps=32, n_rays=121, seed=7)
+    gt = jnp.asarray(data["ground_truth"], jnp.float32)
+    counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
+    gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)
+    ranges = jnp.asarray(data["lidar"]["ranges"], jnp.float32)
+    points, masks = scan_ops.scans_to_points(ranges, 0.1, 30.0,
+                                             LidarConfig())
+    K = int(occupancy.adaptive_ray_cells(points, masks, cfg_map, 30.0))
+    pts2 = points[..., :2]
+
+    m = mesh_lib.make_mesh(8)
+    score_fn = sharding.sharded_pf_score(m, cfg_map)
+    cfg = PFConfig(n_particles=64)
+
+    ref_poses, ref_map, _ = pf_slam.slam_particle_filter(
+        counts, gyro, pts2, masks, cfg_map, cfg, x0=gt[0], K=K)
+    got_poses, got_map, _ = pf_slam.slam_particle_filter(
+        counts, gyro, pts2, masks, cfg_map, cfg, x0=gt[0], K=K,
+        score_fn=score_fn)
+    np.testing.assert_allclose(np.asarray(got_poses),
+                               np.asarray(ref_poses), atol=1e-5)
+    assert float(np.mean(np.asarray(got_map) != np.asarray(ref_map))) < 1e-3
