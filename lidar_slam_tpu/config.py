@@ -149,6 +149,12 @@ class PoseGraphConfig:
     # unchanged). Tests that pin deeper convergence pass cost_rtol
     # explicitly (optimize()'s own default stays 1e-9).
     cost_rtol: float = 1e-5
+    # Robust m-estimator on LOOP factors: "none" (reference parity — the
+    # reference relies on hard distance/yaw gates alone, main.py:163-172),
+    # "huber", or "cauchy" (gtsam.noiseModel.mEstimator analogs, applied
+    # IRLS-style inside LM). delta is the kernel width in whitened units.
+    robust_loss: str = "none"
+    robust_delta: float = 1.0
     # "direct": exact block-tridiagonal LDL^T + Woodbury loop correction,
     # valid for ANY loop topology; "banded": exact super-block-tridiagonal
     # solve, REQUIRES max(loop_j - loop_i) <= fixed_interval (true for the

@@ -309,6 +309,33 @@ _factor_r_and_J = jax.vmap(
 )
 
 
+def _robust_w_rho(e2: jnp.ndarray, kind: str, delta: float):
+    """Per-factor IRLS weight w = rho'(e)/e and robust cost rho(e), from the
+    squared whitened residual norm e2 (L,).
+
+    The analog of gtsam.noiseModel.mEstimator.{Huber,Cauchy}: scaling the
+    whitened residual and Jacobian blocks by sqrt(w) at each linearization
+    is exactly how GTSAM applies a robust noise model inside LM (the
+    standard IRLS approximation — the rho'' term is omitted, as there).
+    Both kernels are identity for e -> 0, so inliers are untouched;
+    masked-out factors have e2 = 0 and contribute w = 1 on a zero block.
+    """
+    if kind == "huber":
+        # rho(e) = e^2/2 for e <= delta, delta*e - delta^2/2 beyond
+        e = jnp.sqrt(e2)
+        out = e > delta
+        w = jnp.where(out, delta / jnp.maximum(e, 1e-30), 1.0)
+        rho = jnp.where(out, delta * e - 0.5 * delta * delta, 0.5 * e2)
+    elif kind == "cauchy":
+        # rho(e) = (delta^2/2) * log(1 + e^2/delta^2)
+        t = e2 / (delta * delta)
+        w = 1.0 / (1.0 + t)
+        rho = 0.5 * delta * delta * jnp.log1p(t)
+    else:
+        raise ValueError(f"unknown robust kernel {kind!r}")
+    return w, rho
+
+
 def optimize(
     poses0: jnp.ndarray,
     graph: PoseGraph,
@@ -321,8 +348,16 @@ def optimize(
     cost_rtol: float = 1e-9,
     solver: str = "direct",
     band: int = 10,
+    robust: str = "none",
+    robust_delta: float = 1.0,
 ) -> LMResult:
     """Public LM entry point. See _optimize_jit for the solver itself.
+
+    robust in {"none", "huber", "cauchy"} applies an m-estimator to the
+    LOOP factors only (the outlier-prone factor class — the reference
+    hard-gates exactly these, main.py:163-172; odometry/scan-matching
+    between factors stay Gaussian, as in standard GTSAM practice).
+    robust_delta is the kernel width in whitened-residual units.
 
     Host-side safety net for solver="banded": the banded solver is exact
     ONLY when every live loop factor spans <= band poses (fixed-interval
@@ -349,11 +384,12 @@ def optimize(
                          lambda_init=lambda_init, lambda_up=lambda_up,
                          lambda_down=lambda_down, cg_iters=cg_iters,
                          cg_tol=cg_tol, cost_rtol=cost_rtol, solver=solver,
-                         band=band)
+                         band=band, robust=robust,
+                         robust_delta=robust_delta)
 
 
 @partial(jax.jit, static_argnames=("max_iters", "cg_iters", "solver", "band",
-                                   "trace"))
+                                   "trace", "robust"))
 def _optimize_jit(
     poses0: jnp.ndarray,
     graph: PoseGraph,
@@ -367,6 +403,8 @@ def _optimize_jit(
     solver: str = "direct",
     band: int = 10,
     trace: bool = False,
+    robust: str = "none",
+    robust_delta: float = 1.0,
 ) -> LMResult:
     """Levenberg-Marquardt with explicit block-sparse normal equations.
 
@@ -405,6 +443,20 @@ def _optimize_jit(
         Jli = Jli * lw[..., None]
         Jlj = Jlj * lw[..., None]
 
+        if robust == "none":
+            loop_cost = 0.5 * jnp.sum(rl * rl)
+        else:
+            # IRLS: sqrt(w)-scale the loop blocks so every downstream
+            # solver (CG/direct/banded) sees the robustly reweighted
+            # normal equations; cost uses rho (see _robust_w_rho)
+            w, rho = _robust_w_rho(jnp.sum(rl * rl, axis=1), robust,
+                                   robust_delta)
+            sw = jnp.sqrt(w)[:, None]
+            rl = rl * sw
+            Jli = Jli * sw[..., None]
+            Jlj = Jlj * sw[..., None]
+            loop_cost = jnp.sum(rho)
+
         # gradient g = J^T r, accumulated per variable
         g = jnp.zeros((n, 3), dtype)
         g = g.at[0].add(jnp.matmul(Jp.T, rp, precision=_HI))
@@ -415,7 +467,7 @@ def _optimize_jit(
         g = g.at[graph.loop_j].add(
             jnp.einsum("bij,bi->bj", Jlj, rl, precision=_HI))
 
-        cost = 0.5 * (jnp.dot(rp, rp) + jnp.sum(rb * rb) + jnp.sum(rl * rl))
+        cost = 0.5 * (jnp.dot(rp, rp) + jnp.sum(rb * rb)) + loop_cost
         return (Jp, Jbi, Jbj, Jli, Jlj), g, cost
 
     def cost_at(x):
@@ -426,7 +478,13 @@ def _optimize_jit(
         rl = jax.vmap(_factor_residual, in_axes=(0, 0, 0, None))(
             x[graph.loop_i], x[graph.loop_j], graph.loop_meas, inv_loop)
         rl = rl * graph.loop_mask.astype(dtype)[:, None]
-        return 0.5 * (jnp.dot(rp, rp) + jnp.sum(rb * rb) + jnp.sum(rl * rl))
+        if robust == "none":
+            loop_cost = 0.5 * jnp.sum(rl * rl)
+        else:
+            _, rho = _robust_w_rho(jnp.sum(rl * rl, axis=1), robust,
+                                   robust_delta)
+            loop_cost = jnp.sum(rho)
+        return 0.5 * (jnp.dot(rp, rp) + jnp.sum(rb * rb)) + loop_cost
 
     def make_preconditioner(J, lam):
         """Block-Jacobi: invert the (3, 3) diagonal blocks of J^T J + lam I.
@@ -678,7 +736,9 @@ def optimize_with_config(poses0: jnp.ndarray, graph: PoseGraph,
                     lambda_down=cfg.lambda_down, cg_iters=cfg.cg_iters,
                     cg_tol=cfg.cg_tol, cost_rtol=cfg.cost_rtol,
                     solver=getattr(cfg, "solver", "direct"),
-                    band=cfg.fixed_interval)
+                    band=cfg.fixed_interval,
+                    robust=getattr(cfg, "robust_loss", "none"),
+                    robust_delta=getattr(cfg, "robust_delta", 1.0))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
