@@ -162,6 +162,46 @@ class PoseGraphConfig:
     # is much faster there (cost independent of the candidate count);
     # "cg": preconditioned conjugate gradients (models/pose_graph.py)
     solver: str = "direct"
+    # Loop-closure proposer: "fixed" (reference parity — pairs
+    # (i, i+interval) only, main.py:161); "proximity" (the fixed pairs
+    # PLUS revisit pairs from models/slam.proximity_loop_candidates —
+    # metric nearness on the estimated trajectory, valid while drift stays
+    # under proximity_radius); or "descriptor" (the fixed pairs PLUS
+    # appearance-based place recognition: rotation-tolerant per-scan range
+    # histograms, all-pairs similarity as one MXU matmul — finds revisits
+    # REGARDLESS of accumulated drift, which defeats metric proximity once
+    # drift exceeds the search radius). With either extra proposer
+    # run_slam forces solver="direct", since revisit spans exceed any
+    # fixed band. Pairing with robust_loss is recommended.
+    loop_proposer: str = "fixed"
+    proximity_radius: float = 0.5       # revisit distance threshold (m) on
+    #   the ESTIMATED trajectory — inflate to cover expected drift; false
+    #   proposals are culled by the ICP-error gate below
+    proximity_min_gap: int = 100        # min steps between revisit pair
+    proximity_max_candidates: int = 256
+    proximity_suppress: int = 20        # non-max suppression window (steps)
+    # Verification gate: a revisit closure is accepted only if its
+    # identity-seeded ICP converges to a normalized error below this.
+    # Measured separation on the synthetic revisit scene
+    # (tools/revisit_check.py, tests/test_loop_detection.py): the exact
+    # revisit converges to ~1e-5, pairs 0.2 m off it stall at 1.5-2.4e-4,
+    # perceptually-aliased false matches at 1.3e-3..4.7e-3 — 1e-4 admits
+    # only near-exact overlaps with >=10x margin against aliases.
+    proximity_max_err: float = 1e-4
+    # Descriptor place recognition (loop_proposer="descriptor"):
+    # per-scan histogram of valid ranges over descriptor_bins bins — yaw-
+    # tolerant (exactly invariant for a 360-degree FOV; tolerant within
+    # FOV overlap for the 270-degree Hokuyo). A pair is proposed when its
+    # squared descriptor distance is below descriptor_rel_thresh x the
+    # MEDIAN CONSECUTIVE-SCAN squared distance (consecutive scans view the
+    # same place, so that median is a self-calibrating "same place" scale;
+    # measured on the revisit scene: true revisit 0.4x, false matches
+    # >=15x — tests/test_loop_detection.py). descriptor_max_dist caps the
+    # verified ICP translation (a converged alignment with a huge offset
+    # means the overlap was degenerate, not a revisit).
+    descriptor_bins: int = 64
+    descriptor_rel_thresh: float = 4.0
+    descriptor_max_dist: float = 5.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,6 +43,45 @@ def loop_closure_candidates(n_poses: int, fixed_interval: int) -> np.ndarray:
     return np.arange(0, n_poses - fixed_interval, fixed_interval)
 
 
+@partial(jax.jit, static_argnames=("chunk_size", "gate_yaw"))
+def compute_loop_closures_pairs(
+    points3: jnp.ndarray,
+    masks: jnp.ndarray,
+    loop_i: jnp.ndarray,
+    loop_j: jnp.ndarray,
+    max_distance: float,
+    max_yaw_deg: float,
+    chunk_size: int = 64,
+    gate_yaw: bool = True,
+):
+    """Loop-closure ICPs for arbitrary (i, j) pairs, batched, with the
+    reference gate semantics (main.py:161-172): identity-seeded ICP of
+    scan i onto scan j with NORMALIZED error and the reference's default
+    epsilon (0.01); accepted when translation < max_distance and (when
+    gate_yaw) signed angle in degrees < max_yaw (the reference gates the
+    signed angle, not its absolute value — replicated faithfully).
+    gate_yaw=False is for proximity revisit pairs, whose relative heading
+    is unconstrained by the per-step motion bound.
+    """
+    src = points3[loop_i]
+    tgt = points3[loop_j]
+    sm = masks[loop_i]
+    tm = masks[loop_j]
+    B = src.shape[0]
+    eye = jnp.tile(jnp.eye(4, dtype=points3.dtype), (B, 1, 1))
+    T_icp, errors, iters = scan_matching.icp_all_pairs(
+        src, tgt, sm, tm, eye,
+        epsilon=0.01, normalize_error=True, chunk_size=chunk_size,
+        planar=True)
+    T2 = se2.TSE2_from_TSE3(T_icp)
+    translation = jnp.linalg.norm(T2[:, :2, 2], axis=-1)
+    accept = translation < max_distance
+    if gate_yaw:
+        angle = jnp.arctan2(T2[:, 1, 0], T2[:, 0, 0])
+        accept = accept & (jnp.rad2deg(angle) < max_yaw_deg)
+    return T2, accept, errors, iters
+
+
 @partial(jax.jit, static_argnames=("fixed_interval", "chunk_size"))
 def compute_loop_closures(
     points3: jnp.ndarray,
@@ -53,29 +92,219 @@ def compute_loop_closures(
     max_yaw_deg: float,
     chunk_size: int = 64,
 ):
-    """Fixed-interval loop-closure ICPs, batched, with the reference gate.
+    """Fixed-interval loop-closure ICPs (reference: main.py:161-172) —
+    compute_loop_closures_pairs over the (i, i+interval) pair set."""
+    cand = jnp.asarray(cand)
+    return compute_loop_closures_pairs(
+        points3, masks, cand, cand + fixed_interval, max_distance,
+        max_yaw_deg, chunk_size=chunk_size)
 
-    Matches main.py:161-172: identity-seeded ICP of scan i onto scan
-    i+interval with NORMALIZED error and the reference's default epsilon
-    (0.01); accepted when translation < max_distance and signed angle in
-    degrees < max_yaw (the reference gates the signed angle, not its
-    absolute value — replicated faithfully).
+
+@partial(jax.jit, static_argnames=("min_gap", "k"))
+def _nearest_revisits(pos: jnp.ndarray, min_gap: int, k: int):
+    """Per pose j: indices and squared distances of the k nearest poses i
+    with j - i >= min_gap. ONE all-pairs distance computation (the long
+    axis is N ~ 5k poses: a (N, N) f32 grid is ~100 MB of HBM — fine on a
+    chip; chunk over j for much longer logs)."""
+    n = pos.shape[0]
+    d2 = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    ii = jnp.arange(n)[:, None]
+    jj = jnp.arange(n)[None, :]
+    d2 = jnp.where((jj - ii) >= min_gap, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2.T, k)  # per j: k smallest distances
+    return idx, -neg
+
+
+def proximity_loop_candidates(
+    poses: np.ndarray,
+    min_gap: int = 100,
+    radius: float = 0.5,
+    max_candidates: int = 256,
+    suppress_window: int = 20,
+    k: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Propose loop-closure pairs (i, j) by REVISIT proximity: pose j has
+    passed within `radius` meters of a pose i at least `min_gap` steps
+    earlier. New surface — the reference proposes only fixed-interval
+    pairs (main.py:161), which never span more than `interval` poses and
+    therefore cannot anchor long-range drift; revisit closures can.
+
+    Proposals come from the ESTIMATED trajectory, so when that trajectory
+    has drifted, the nearest earlier pose can be a false (perceptually
+    aliased) match while the true revisit sits further down the ranking —
+    hence each j contributes its `k` nearest valid i's, and non-max
+    suppression is deliberately DEFERRED to after ICP verification
+    (suppress_verified_pairs), where pairs rank by MEASURED error rather
+    than estimated distance: under drift a false pair often looks closer
+    than the true revisit next to it, so distance-ranked suppression would
+    discard exactly the pairs that anchor the correction. Verification is
+    one batched ICP over all proposals — a few hundred pairs cost ~the
+    loop-closure stage itself — so over-proposing is cheap. Only under cap
+    pressure (more than `max_candidates` qualifying pairs) is a LIGHT
+    distance-ranked spread applied (window `suppress_window // 4`) so one
+    dense neighborhood cannot crowd distant revisits out of the cap.
+
+    Returns (loop_i, loop_j) int32 arrays, possibly empty. Verify with
+    compute_loop_closures_pairs(..., gate_yaw=False) + the normalized-ICP-
+    error gate (PoseGraphConfig.proximity_max_err — the decisive filter
+    against aliased matches), then suppress_verified_pairs, and solve with
+    solver="direct" (spans exceed any fixed band); a robust kernel
+    (robust_loss) is recommended on top.
     """
-    src = points3[cand]
-    tgt = points3[cand + fixed_interval]
-    sm = masks[cand]
-    tm = masks[cand + fixed_interval]
-    B = src.shape[0]
-    eye = jnp.tile(jnp.eye(4, dtype=points3.dtype), (B, 1, 1))
-    T_icp, errors, iters = scan_matching.icp_all_pairs(
-        src, tgt, sm, tm, eye,
-        epsilon=0.01, normalize_error=True, chunk_size=chunk_size,
-        planar=True)
-    T2 = se2.TSE2_from_TSE3(T_icp)
-    angle = jnp.arctan2(T2[:, 1, 0], T2[:, 0, 0])
-    translation = jnp.linalg.norm(T2[:, :2, 2], axis=-1)
-    accept = (translation < max_distance) & (jnp.rad2deg(angle) < max_yaw_deg)
-    return T2, accept, errors, iters
+    pos = jnp.asarray(np.asarray(poses)[:, :2], jnp.float32)
+    n = int(pos.shape[0])
+    if n <= min_gap:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+    k = min(k, n)
+    idx, d2 = _nearest_revisits(pos, int(min_gap), int(k))
+    idx = np.asarray(idx)   # (N, k) candidate i per j
+    d2 = np.asarray(d2)
+    jj, kk = np.where(d2 <= radius * radius)
+    order = np.argsort(d2[jj, kk], kind="stable")
+    cand_i = idx[jj, kk][order].astype(np.int64)
+    cand_j = jj[order].astype(np.int64)
+    if cand_j.size > max_candidates:
+        light = max(1, suppress_window // 4)
+        keep = _suppress_greedy(cand_i, cand_j, light, max_candidates)
+        cand_i, cand_j = cand_i[keep], cand_j[keep]
+    return (cand_i.astype(np.int32), cand_j.astype(np.int32))
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def scan_descriptors(
+    ranges: jnp.ndarray,
+    masks: jnp.ndarray,
+    range_min: float,
+    range_max: float,
+    n_bins: int = 64,
+) -> jnp.ndarray:
+    """Per-scan place-recognition descriptor: the normalized histogram of
+    valid ranges over `n_bins` bins of [range_min, range_max].
+
+    Yaw-tolerant by construction (a sensor rotation permutes which RAY
+    sees which range; the histogram ignores ray order — exactly invariant
+    at 360-degree FOV, tolerant within FOV overlap at 270), and cheap:
+    one chunked one-hot contraction. New surface beyond the reference
+    (which has no place recognition; its loop closures are fixed-interval
+    only, main.py:161).
+    """
+    lo = jnp.asarray(range_min, jnp.float32)
+    hi = jnp.asarray(range_max, jnp.float32)
+
+    def hist_one(args):
+        r, m = args  # (R,), (R,) — lax.map batches 256 of these per step
+        idx = jnp.clip(((r - lo) / (hi - lo) * n_bins).astype(jnp.int32),
+                       0, n_bins - 1)
+        oh = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)  # (R, B)
+        h = jnp.einsum("rb,r->b", oh, m.astype(jnp.float32))
+        return h / jnp.maximum(h.sum(), 1.0)
+
+    return jax.lax.map(hist_one, (jnp.asarray(ranges, jnp.float32), masks),
+                       batch_size=256)
+
+
+@partial(jax.jit, static_argnames=("min_gap", "k"))
+def _nearest_descriptor_revisits(desc: jnp.ndarray, min_gap: int, k: int):
+    """Per scan j: indices + squared descriptor distances of the k most
+    similar scans i with j - i >= min_gap, plus the median consecutive-
+    scan squared distance (the self-calibrating 'same place' scale).
+    All-pairs distance is ONE (N, B) x (B, N) matmul — MXU-shaped."""
+    from ..utils.precision import HIGHEST
+    n2 = jnp.sum(desc * desc, axis=-1)
+    g = jnp.dot(desc, desc.T, precision=HIGHEST)
+    d2 = jnp.maximum(n2[:, None] + n2[None, :] - 2.0 * g, 0.0)
+    cons = jnp.median(jnp.diagonal(d2, offset=1))
+    ii = jnp.arange(desc.shape[0])[:, None]
+    jj = jnp.arange(desc.shape[0])[None, :]
+    d2m = jnp.where((jj - ii) >= min_gap, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2m.T, k)  # per j: k most similar valid i
+    return idx, -neg, cons
+
+
+def descriptor_loop_candidates(
+    ranges: np.ndarray,
+    masks: np.ndarray,
+    range_min: float,
+    range_max: float,
+    min_gap: int = 100,
+    k: int = 4,
+    n_bins: int = 64,
+    rel_thresh: float = 4.0,
+    max_candidates: int = 256,
+    suppress_window: int = 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Propose loop-closure pairs by APPEARANCE: scans i and j look alike
+    (squared descriptor distance <= rel_thresh x the median consecutive-
+    scan squared distance) and are at least min_gap steps apart.
+
+    Unlike proximity_loop_candidates this needs no pose estimate at all,
+    so it finds revisits regardless of accumulated drift — the regime
+    where metric proximity fails (drift > search radius puts the true
+    revisit further down the nearest-neighbor ranking than aliased
+    matches; measured on the revisit scene, tests/test_loop_detection.py).
+    Candidates are ordered most-similar-first and capped like the
+    proximity proposer; verify + gate + NMS identically.
+    """
+    desc = scan_descriptors(jnp.asarray(np.asarray(ranges), jnp.float32),
+                            jnp.asarray(masks), float(range_min),
+                            float(range_max), n_bins=int(n_bins))
+    idx, d2, cons = _nearest_descriptor_revisits(desc, int(min_gap), int(k))
+    idx = np.asarray(idx)
+    d2 = np.asarray(d2)
+    thresh = float(rel_thresh) * float(cons)
+    jj, kk = np.where(d2 <= thresh)
+    order = np.argsort(d2[jj, kk], kind="stable")
+    cand_i = idx[jj, kk][order].astype(np.int64)
+    cand_j = jj[order].astype(np.int64)
+    if cand_j.size > max_candidates:
+        light = max(1, suppress_window // 4)
+        keep = _suppress_greedy(cand_i, cand_j, light, max_candidates)
+        cand_i, cand_j = cand_i[keep], cand_j[keep]
+    return (cand_i.astype(np.int32), cand_j.astype(np.int32))
+
+
+def _suppress_greedy(loop_i, loop_j, window, cap):
+    """Greedy pair NMS in the given order: a pair is dropped when an
+    already-kept pair is within `window` steps on BOTH endpoints. Returns
+    the kept positions (host code — runs once per pipeline)."""
+    sel = []
+    for m in range(loop_i.size):
+        i, j = int(loop_i[m]), int(loop_j[m])
+        if any(abs(j - int(loop_j[s])) <= window
+               and abs(i - int(loop_i[s])) <= window for s in sel):
+            continue
+        sel.append(m)
+        if len(sel) >= cap:
+            break
+    return np.asarray(sel, np.int64)
+
+
+def suppress_verified_pairs(
+    loop_i: np.ndarray,
+    loop_j: np.ndarray,
+    errors: np.ndarray,
+    accept: np.ndarray,
+    window: int,
+) -> np.ndarray:
+    """Post-verification non-max suppression: among ACCEPTED pairs, keep
+    them in ascending ICP-error order, dropping any within `window` steps
+    of an already-kept pair on BOTH endpoints. Redundant closures of the
+    same physical revisit add solve cost (the direct solver's Woodbury
+    correction scales with the loop count) without adding information;
+    ranking by measured error keeps the best-verified representative.
+    Returns a boolean keep mask over all pairs (rejected pairs are False).
+    """
+    loop_i = np.asarray(loop_i)
+    loop_j = np.asarray(loop_j)
+    errors = np.asarray(errors)
+    accept = np.asarray(accept)
+    keep = np.zeros(loop_i.shape[0], bool)
+    acc_pos = np.where(accept)[0]
+    order = acc_pos[np.argsort(errors[acc_pos], kind="stable")]
+    kept = _suppress_greedy(loop_i[order], loop_j[order], window,
+                            cap=order.size)
+    keep[order[kept]] = True
+    return keep
 
 
 def resume_from_poses(
@@ -179,7 +408,6 @@ def run_slam(
         loop_T, accept, _, _ = compute_loop_closures(
             pts3, masks, cand, fixed_interval,
             float(max_distance), float(max_yaw_deg), chunk_size=chunk_size)
-        result.n_loop_closures = int(np.asarray(accept).sum())
 
         # keep the banded solver's band in sync with the ACTUAL loop span:
         # the run_slam fixed_interval argument (CLI --fixed_interval)
@@ -189,9 +417,56 @@ def run_slam(
         import dataclasses
         pg_cfg = dataclasses.replace(cfg.pose_graph,
                                      fixed_interval=fixed_interval)
+        loop_i = jnp.asarray(cand)
+        loop_j = jnp.asarray(cand + fixed_interval)
+
+        if cfg.pose_graph.loop_proposer in ("proximity", "descriptor"):
+            # revisit closures on top of the fixed-interval set; their
+            # spans are unbounded, so the banded solver no longer applies
+            pg = cfg.pose_graph
+            if pg.loop_proposer == "proximity":
+                pli, plj = proximity_loop_candidates(
+                    np.asarray(final_poses),
+                    min_gap=pg.proximity_min_gap,
+                    radius=pg.proximity_radius,
+                    max_candidates=pg.proximity_max_candidates,
+                    suppress_window=pg.proximity_suppress)
+                max_dist = 2.0 * pg.proximity_radius
+            else:
+                pli, plj = descriptor_loop_candidates(
+                    ranges, masks, float(range_min), float(range_max),
+                    min_gap=pg.proximity_min_gap,
+                    n_bins=pg.descriptor_bins,
+                    rel_thresh=pg.descriptor_rel_thresh,
+                    max_candidates=pg.proximity_max_candidates,
+                    suppress_window=pg.proximity_suppress)
+                max_dist = pg.descriptor_max_dist
+            if pli.size:
+                pT, pacc, perr, _ = compute_loop_closures_pairs(
+                    pts3, masks, jnp.asarray(pli), jnp.asarray(plj),
+                    float(max_dist), 0.0,
+                    chunk_size=chunk_size, gate_yaw=False)
+                # the decisive gate: perceptually-aliased false revisits
+                # pass the translation test but stall at high ICP error
+                pacc = np.asarray(pacc) & (np.asarray(perr)
+                                           < cfg.pose_graph.proximity_max_err)
+                # NMS after verification (error-ranked; see the
+                # proximity_loop_candidates docstring for why not before)
+                keep = suppress_verified_pairs(
+                    pli, plj, np.asarray(perr), pacc,
+                    cfg.pose_graph.proximity_suppress)
+                if keep.any():
+                    sel = np.where(keep)[0]
+                    loop_i = jnp.concatenate([loop_i, jnp.asarray(pli[sel])])
+                    loop_j = jnp.concatenate([loop_j, jnp.asarray(plj[sel])])
+                    loop_T = jnp.concatenate([loop_T, pT[sel]])
+                    accept = jnp.concatenate(
+                        [accept, jnp.ones(sel.size, bool)])
+                    pg_cfg = dataclasses.replace(pg_cfg, solver="direct")
+
+        result.n_loop_closures = int(np.asarray(accept).sum())
         opt = pose_graph.optimize_trajectory(
-            final_poses, sm.relative_poses, jnp.asarray(cand),
-            jnp.asarray(cand + fixed_interval), loop_T, accept,
+            final_poses, sm.relative_poses, loop_i, loop_j, loop_T, accept,
             pg_cfg)
         result.poses_optimized = np.asarray(opt.poses)
         final_poses = opt.poses

@@ -59,6 +59,19 @@ def build_parser():
                              "estimation and only build maps/texture "
                              "(checkpoint/resume; stage artifacts in "
                              "outputs/ are the checkpoints)")
+    parser.add_argument("--loop_proposer", type=str, default="fixed",
+                        choices=["fixed", "proximity", "descriptor"],
+                        help="Loop-closure proposer for --mode gtsam: "
+                             "'fixed' = reference parity (i, i+interval "
+                             "pairs only); 'proximity' adds revisit pairs "
+                             "detected on the estimated trajectory; "
+                             "'descriptor' adds appearance-based place "
+                             "recognition (drift-independent). All extra "
+                             "pairs are ICP-error gated (models/slam.py)")
+    parser.add_argument("--robust_loss", type=str, default="none",
+                        choices=["none", "huber", "cauchy"],
+                        help="Robust m-estimator on loop factors in the "
+                             "pose-graph solve (gtsam mEstimator analog)")
     return parser
 
 
@@ -120,7 +133,13 @@ def main(argv=None):
     print("Done!\n\n")
 
     banner("Running the TPU SLAM pipeline...")
+    import dataclasses
     cfg = SlamConfig(map=MapConfig.from_cli(args.res, args.width, args.height))
+    if args.loop_proposer != "fixed" or args.robust_loss != "none":
+        cfg = dataclasses.replace(
+            cfg, pose_graph=dataclasses.replace(
+                cfg.pose_graph, loop_proposer=args.loop_proposer,
+                robust_loss=args.robust_loss))
     if args.load_poses:
         result = slam.resume_from_poses(
             io.load_numpy(args.load_poses),

@@ -1,0 +1,217 @@
+"""Revisit loop-closure detection: proximity + descriptor proposers.
+
+New surface beyond the reference (its loop closures are fixed-interval
+pairs only, reference: main.py:161); these tests validate the two revisit
+proposers and the shared ICP-error verification gate on a synthetic
+revisit scene — a full circle driven back to its start with a 3% gyro
+bias, so the estimated trajectory drifts ~2.8 m by loop end.
+
+Key measured facts the thresholds encode (tools/revisit_check.py):
+- the exact-revisit ICP converges to normalized error ~1.1e-5;
+  perceptually aliased false matches stall at 1.3e-3..4.7e-3 -> the 1e-4
+  gate admits only near-exact overlaps with >=10x alias margin;
+- drift >> proximity radius puts every metric-proximity proposal on a
+  FALSE pair (the estimated end sits 2.8 m from the estimated start),
+  which the gate must reject wholesale;
+- the range-histogram descriptor ranks the true revisit at <=2x the
+  median consecutive-scan distance while false pairs sit >=15x, so
+  appearance proposals find the revisit that metric proximity cannot.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_slam_tpu.config import IcpConfig, LidarConfig, SlamConfig
+from lidar_slam_tpu.models import odometry, scan_matching, slam
+from lidar_slam_tpu.ops import icp as icp_ops
+from lidar_slam_tpu.ops import scan as scan_ops
+from lidar_slam_tpu.utils import io
+
+
+N_STEPS = 360
+GATE = 1e-4  # PoseGraphConfig.proximity_max_err default
+
+
+def _revisit_scene(n_steps=N_STEPS, n_rays=541, gyro_scale=0.97, seed=7):
+    """Circle of radius 3 m driven exactly once around; the biased gyro
+    makes the estimate drift while ground truth returns to the start."""
+    rng = np.random.default_rng(seed)
+    freq = 40.0
+    dt = 1.0 / freq
+    radius = 3.0
+    w_true = 2 * np.pi / (n_steps * dt)
+    v_true = w_true * radius
+    t = np.arange(n_steps) * dt
+    theta = w_true * t
+    gt = np.stack([radius * np.sin(theta), radius * (1 - np.cos(theta)),
+                   theta], axis=1)
+    ticks = np.full(n_steps, v_true / (0.0022 * freq))
+    counts = np.stack([ticks] * 4, axis=1) + rng.normal(0, 0.05, (n_steps, 4))
+    gyro = np.zeros((n_steps, 3))
+    gyro[:, 2] = w_true * gyro_scale + rng.normal(0, 2e-3, n_steps)
+    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
+    ranges = io._raycast_room(gt, angles, 30.0, rng)
+    ranges = np.clip(ranges + rng.normal(0, 0.003, ranges.shape), 0.0, 35.0)
+    return counts, gyro, ranges, gt
+
+
+@pytest.fixture(scope="module")
+def scene():
+    counts, gyro, ranges, gt = _revisit_scene()
+    cfg = SlamConfig(lidar=LidarConfig(n_rays=ranges.shape[1]),
+                     icp=IcpConfig(epsilon=0.001))
+    points, masks = scan_ops.scans_to_points(
+        jnp.asarray(ranges), 0.1, 30.0, cfg.lidar)
+    poses_odom = odometry.poses_from_odometry(
+        jnp.asarray(counts), jnp.asarray(gyro), dt=cfg.robot.dt)
+    sm = scan_matching.poses_from_scan_matching(
+        poses_odom, points, masks, cfg.icp, chunk_size=16)
+    return dict(counts=counts, gyro=gyro, ranges=ranges, gt=gt, cfg=cfg,
+                points=points, masks=masks, sm=sm,
+                est=np.asarray(sm.poses))
+
+
+def _true_mask(gt, pli, plj, thresh=1.0):
+    return np.linalg.norm(gt[pli, :2] - gt[plj, :2], axis=1) < thresh
+
+
+def _verify(scene_d, pli, plj, max_dist=5.0):
+    pts3 = icp_ops.lift_to_3d(scene_d["points"])
+    pT, pacc, perr, _ = slam.compute_loop_closures_pairs(
+        pts3, scene_d["masks"], jnp.asarray(pli), jnp.asarray(plj),
+        max_dist, 0.0, chunk_size=16, gate_yaw=False)
+    return np.asarray(pT), np.asarray(pacc), np.asarray(perr)
+
+
+def test_scene_has_drift_and_revisit(scene):
+    est, gt = scene["est"], scene["gt"]
+    # ground truth closes the loop; the estimate does not
+    assert np.linalg.norm(gt[-1, :2] - gt[0, :2]) < 0.1
+    assert np.linalg.norm(est[-1, :2] - est[0, :2]) > 1.5
+
+
+def test_descriptor_separation(scene):
+    """True-revisit descriptor distance is ~consecutive-scan scale;
+    aliased pairs are >= 10x that scale."""
+    desc = slam.scan_descriptors(jnp.asarray(scene["ranges"], jnp.float32),
+                                 scene["masks"], 0.1, 30.0)
+    d = np.asarray(desc)
+    assert d.shape == (N_STEPS, 64)
+    np.testing.assert_allclose(d.sum(-1), 1.0, atol=1e-5)
+    cons = np.median(np.linalg.norm(np.diff(d, axis=0), axis=1) ** 2)
+    true_d2 = ((d[0] - d[-1]) ** 2).sum()
+    false_d2 = ((d[0] - d[180]) ** 2).sum()   # opposite side of the circle
+    alias_d2 = ((d[20] - d[324]) ** 2).sum()  # the drift-aliased pair
+    assert true_d2 < 2 * cons
+    assert false_d2 > 10 * cons
+    assert alias_d2 > 10 * cons
+
+
+def test_descriptor_invariant_to_ray_permutation(scene):
+    """The histogram ignores ray order (yaw tolerance comes from this)."""
+    r = jnp.asarray(scene["ranges"][:8], jnp.float32)
+    m = scene["masks"][:8]
+    perm = np.random.default_rng(0).permutation(r.shape[1])
+    a = slam.scan_descriptors(r, m, 0.1, 30.0)
+    b = slam.scan_descriptors(r[:, perm], m[:, perm], 0.1, 30.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_descriptor_proposals_find_true_revisit(scene):
+    pli, plj = slam.descriptor_loop_candidates(
+        scene["ranges"], scene["masks"], 0.1, 30.0, min_gap=100)
+    assert pli.size > 0
+    tm = _true_mask(scene["gt"], pli, plj)
+    assert tm.any(), "descriptor proposer missed the true revisit"
+    # the top-ranked (most similar) proposal is a true revisit
+    assert tm[0]
+
+
+def test_proximity_fails_under_large_drift_but_gate_holds(scene):
+    """With drift (2.8 m) >> radius, metric proximity proposes only
+    aliased pairs — and the ICP-error gate must reject every one."""
+    pli, plj = slam.proximity_loop_candidates(
+        scene["est"], min_gap=100, radius=1.0, max_candidates=256,
+        suppress_window=20)
+    assert pli.size > 0
+    assert not _true_mask(scene["gt"], pli, plj).any()
+    _, pacc, perr = _verify(scene, pli, plj, max_dist=2.0)
+    accepted = pacc & (perr < GATE)
+    assert not accepted.any(), (
+        f"gate admitted a false closure: errors {perr[accepted]}")
+
+
+def test_icp_error_gate_separates(scene):
+    """On the descriptor proposals: the exact revisit converges well below
+    the gate, any non-true pair stalls >= 10x above it, and everything
+    surviving the post-verification NMS is a true revisit.
+
+    Measured on this scene (tools/revisit_check.py): the exact revisit
+    (0,359) converges to 1.1e-5; pairs a mere 0.2 m off the revisit stall
+    at 1.5-2.4e-4 (the gate separates EXACT overlap, not metric truth);
+    aliased matches stall at 1.3e-3..4.7e-3."""
+    pli, plj = slam.descriptor_loop_candidates(
+        scene["ranges"], scene["masks"], 0.1, 30.0, min_gap=100)
+    _, pacc, perr = _verify(scene, pli, plj)
+    tm = _true_mask(scene["gt"], pli, plj)
+    if (~tm).any():
+        assert (perr[~tm] > GATE * 10).all()
+    acc = pacc & (perr < GATE)
+    assert acc.any()
+    assert tm[acc].all()  # nothing false passes the gate
+    keep = slam.suppress_verified_pairs(pli, plj, perr, acc, 20)
+    assert keep.any()
+    assert tm[keep].all()  # everything surviving NMS is a true revisit
+    assert perr[keep].min() < GATE / 5  # the exact revisit converged deep
+
+
+def test_suppress_verified_pairs_unit():
+    loop_i = np.array([0, 1, 2, 100, 300])
+    loop_j = np.array([200, 201, 202, 300, 500])
+    errors = np.array([3e-6, 1e-6, 2e-6, 5e-6, 9e-3])
+    accept = np.array([True, True, True, True, False])
+    keep = slam.suppress_verified_pairs(loop_i, loop_j, errors, accept,
+                                        window=20)
+    # best-error member of the (0..2, 200..202) cluster survives; the
+    # distant pair survives; the rejected pair never does
+    np.testing.assert_array_equal(keep,
+                                  [False, True, False, True, False])
+
+
+def test_descriptor_closures_improve_ate(scene):
+    """Full-pipeline A/B (run_slam, mode=gtsam): descriptor closures
+    recover the loop — optimized ATE beats both the drifted scan-matching
+    trajectory (>= 2x) and the fixed-interval-only optimization.
+    Measured (tools/revisit_check.py): sm 1.21 m, fixed-only 0.77 m,
+    descriptor 0.43 m."""
+    gt, cfg = scene["gt"], scene["cfg"]
+
+    def ate(p):
+        return float(np.linalg.norm(np.asarray(p)[:, :2] - gt[:, :2],
+                                    axis=1).mean())
+
+    results = {}
+    for name, pg in {
+        "fixed": dataclasses.replace(cfg.pose_graph, max_lm_iters=30),
+        "descriptor": dataclasses.replace(
+            cfg.pose_graph, max_lm_iters=30, loop_proposer="descriptor",
+            robust_loss="huber"),
+    }.items():
+        res = slam.run_slam(
+            scene["counts"], scene["gyro"], scene["ranges"], 0.1, 30.0,
+            mode="gtsam", fixed_interval=10,
+            cfg=dataclasses.replace(cfg, pose_graph=pg),
+            build_map=False, chunk_size=16)
+        results[name] = res
+
+    ate_sm = ate(results["fixed"].poses_scan_matching)
+    ate_fixed = ate(results["fixed"].poses_optimized)
+    ate_desc = ate(results["descriptor"].poses_optimized)
+    # the descriptor run kept at least one revisit closure beyond fixed's
+    assert (results["descriptor"].n_loop_closures
+            > results["fixed"].n_loop_closures)
+    assert ate_desc < ate_sm / 2, (ate_sm, ate_desc)
+    assert ate_desc < ate_fixed, (ate_fixed, ate_desc)

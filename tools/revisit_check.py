@@ -1,0 +1,130 @@
+"""Validation harness for proximity loop-closure detection.
+
+Builds a synthetic revisit scene — a full circle driven back to its start
+inside the raycast room, with a 3% gyro-scale bias so the estimated
+trajectory drifts — and compares mode="gtsam" runs with the reference's
+fixed-interval proposer vs the proximity proposer (+ robust loss).
+
+Usage: python tools/revisit_check.py [n_steps]
+Prints proposal/acceptance stats, the ICP-error separation between true
+and aliased pairs, and final ATE per configuration.
+"""
+import sys
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+sys.path.insert(0, ".")
+from lidar_slam_tpu.config import (IcpConfig, LidarConfig, MapConfig,
+                                   PoseGraphConfig, SlamConfig)
+from lidar_slam_tpu.models import slam
+from lidar_slam_tpu.utils import io
+
+
+def revisit_scene(n_steps=360, n_rays=541, gyro_scale=0.97, seed=7):
+    """A circle of radius 3 m driven exactly once around, so the last poses
+    revisit the first. gyro_scale biases the measured yaw rate -> drift."""
+    rng = np.random.default_rng(seed)
+    freq = 40.0
+    dt = 1.0 / freq
+    radius = 3.0
+    w_true = 2 * np.pi / (n_steps * dt)          # one full turn
+    v_true = w_true * radius
+    t = np.arange(n_steps) * dt
+    theta = w_true * t
+    x = radius * np.sin(theta)
+    y = radius * (1 - np.cos(theta))
+    gt = np.stack([x, y, theta], axis=1)
+
+    ticks = np.full(n_steps, v_true / (0.0022 * freq))
+    counts = np.stack([ticks] * 4, axis=1)
+    counts += rng.normal(0, 0.05, counts.shape)
+
+    gyro = np.zeros((n_steps, 3))
+    gyro[:, 2] = w_true * gyro_scale + rng.normal(0, 2e-3, n_steps)
+
+    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
+    ranges = io._raycast_room(gt, angles, 30.0, rng)
+    ranges = np.clip(ranges + rng.normal(0, 0.003, ranges.shape), 0.0, 35.0)
+    return counts, gyro, ranges, gt
+
+
+def ate(poses, gt):
+    return float(np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1).mean())
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 360
+    counts, gyro, ranges, gt = revisit_scene(n_steps)
+
+    base_pg = PoseGraphConfig(max_lm_iters=30)
+    cfg0 = SlamConfig(
+        lidar=LidarConfig(n_rays=ranges.shape[1]),
+        map=MapConfig(resolution=0.1, world_max_x=15, world_min_x=-15,
+                      world_max_y=15, world_min_y=-15),
+        icp=IcpConfig(epsilon=0.001),
+        pose_graph=base_pg,
+    )
+
+    import dataclasses
+    variants = {
+        "fixed": base_pg,
+        "proximity": dataclasses.replace(
+            base_pg, loop_proposer="proximity", proximity_radius=1.0),
+        "descriptor": dataclasses.replace(
+            base_pg, loop_proposer="descriptor"),
+        "descriptor+huber": dataclasses.replace(
+            base_pg, loop_proposer="descriptor", robust_loss="huber"),
+    }
+
+    for name, pg in variants.items():
+        cfg = dataclasses.replace(cfg0, pose_graph=pg)
+        res = slam.run_slam(counts, gyro, ranges, 0.1, 30.0, mode="gtsam",
+                            fixed_interval=10, cfg=cfg, build_map=False,
+                            chunk_size=16)
+        print(f"[{name:16s}] loops={res.n_loop_closures:3d} "
+              f"ate_odom={ate(res.poses_odom, gt):.3f} "
+              f"ate_sm={ate(res.poses_scan_matching, gt):.3f} "
+              f"ate_opt={ate(res.poses_optimized, gt):.3f}")
+
+    # error-separation diagnostics on the proximity proposals
+    import jax.numpy as jnp
+    from lidar_slam_tpu.ops import icp as icp_ops
+    from lidar_slam_tpu.ops import scan as scan_ops
+    from lidar_slam_tpu.models import odometry, scan_matching
+
+    points, masks = scan_ops.scans_to_points(
+        jnp.asarray(ranges), 0.1, 30.0, cfg0.lidar)
+    poses_odom = odometry.poses_from_odometry(
+        jnp.asarray(counts), jnp.asarray(gyro), dt=cfg0.robot.dt)
+    sm = scan_matching.poses_from_scan_matching(
+        poses_odom, points, masks, cfg0.icp, chunk_size=16)
+    proposers = {
+        "proximity": slam.proximity_loop_candidates(
+            np.asarray(sm.poses), min_gap=100, radius=1.0,
+            max_candidates=256, suppress_window=20),
+        "descriptor": slam.descriptor_loop_candidates(
+            ranges, masks, 0.1, 30.0, min_gap=100),
+    }
+    pts3 = icp_ops.lift_to_3d(points)
+    for name, (pli, plj) in proposers.items():
+        print(f"{name} proposals: {pli.size}")
+        if not pli.size:
+            continue
+        pT, pacc, perr, _ = slam.compute_loop_closures_pairs(
+            pts3, masks, jnp.asarray(pli), jnp.asarray(plj), 5.0, 0.0,
+            chunk_size=16, gate_yaw=False)
+        perr = np.asarray(perr)
+        pacc = np.asarray(pacc) & (perr < 1e-4)
+        keep = slam.suppress_verified_pairs(pli, plj, perr, pacc, 20)
+        true_d = np.linalg.norm(gt[pli, :2] - gt[plj, :2], axis=1)
+        for m in range(pli.size):
+            tag = "TRUE " if true_d[m] < 1.0 else "FALSE"
+            st = "KEEP" if keep[m] else ("acc" if pacc[m] else "rej")
+            print(f"  ({int(pli[m]):3d},{int(plj[m]):3d}) {tag} "
+                  f"gt_dist={true_d[m]:.2f} icp_err={perr[m]:.2e} {st}")
+
+
+if __name__ == "__main__":
+    main()
