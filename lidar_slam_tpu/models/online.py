@@ -189,7 +189,8 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
            scans: jnp.ndarray | None = None,
            scan_masks: jnp.ndarray | None = None,
            max_distance: float = np.inf,
-           max_yaw_deg: float = np.inf) -> np.ndarray:
+           max_yaw_deg: float = np.inf,
+           descriptor_range: tuple[float, float] = (0.1, 30.0)) -> np.ndarray:
     """Smooth the retained trajectory window with the pose-graph solve of
     the offline gtsam stage (reference main.py:148-192).
 
@@ -207,12 +208,22 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
     leading entries are ignored, the last n are used) — gated
     fixed-interval loop-closure ICPs are added exactly like the offline
     stage (gates default to accept-all; pass the odometry maxima for
-    reference gating). Without scans, between factors only. The causal map
-    is untouched.
+    reference gating). With cfg.pose_graph.loop_proposer="descriptor",
+    in-window revisit closures are ALSO detected by place recognition
+    over the window's scans (descriptors from per-point ranges ||p||,
+    binned over `descriptor_range`), ICP-verified, error-gated and
+    NMS'd exactly like the offline path (models/slam.py) — streaming
+    loop closure, the piece that lets a long-running robot correct drift
+    when it re-enters mapped space. Without scans, between factors only.
+    The causal map is untouched.
     """
+    import dataclasses
+
     from ..ops import icp as _icp
     from . import pose_graph
-    from .slam import compute_loop_closures, loop_closure_candidates
+    from .slam import (compute_loop_closures, compute_loop_closures_pairs,
+                       descriptor_loop_candidates, loop_closure_candidates,
+                       suppress_verified_pairs)
 
     n_max = state.poses_hist.shape[0]
     step = int(state.step)
@@ -222,6 +233,7 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
     poses = state.poses_hist[order]
     rel = state.rel_hist[(start + np.arange(1, n)) % n_max]
     interval = cfg.pose_graph.fixed_interval
+    pg_cfg = cfg.pose_graph
     if scans is not None and n > interval + 1:
         if scan_masks is None:
             raise ValueError("refine: scans given without scan_masks")
@@ -242,6 +254,36 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
         li = jnp.asarray(cand)
         lj = jnp.asarray(cand + interval)
         lm = loop_T
+        if pg_cfg.loop_proposer == "descriptor":
+            # in-window place recognition: the descriptor is a histogram
+            # of point ranges, which equals the offline ranges-based one
+            # up to the lidar mounting offset (consistent within a run)
+            ranges = jnp.linalg.norm(pts3[..., :2], axis=-1)
+            pli, plj = descriptor_loop_candidates(
+                ranges, masks, descriptor_range[0], descriptor_range[1],
+                min_gap=pg_cfg.proximity_min_gap,
+                n_bins=pg_cfg.descriptor_bins,
+                rel_thresh=pg_cfg.descriptor_rel_thresh,
+                max_candidates=pg_cfg.proximity_max_candidates,
+                suppress_window=pg_cfg.proximity_suppress)
+            if pli.size:
+                pT, pacc, perr, _ = compute_loop_closures_pairs(
+                    pts3, masks, jnp.asarray(pli), jnp.asarray(plj),
+                    float(pg_cfg.descriptor_max_dist), 0.0, gate_yaw=False)
+                pacc = np.asarray(pacc) & (np.asarray(perr)
+                                           < pg_cfg.proximity_max_err)
+                keep = suppress_verified_pairs(
+                    pli, plj, np.asarray(perr), pacc,
+                    pg_cfg.proximity_suppress)
+                if keep.any():
+                    sel = np.where(keep)[0]
+                    li = jnp.concatenate([li, jnp.asarray(pli[sel])])
+                    lj = jnp.concatenate([lj, jnp.asarray(plj[sel])])
+                    lm = jnp.concatenate([lm, pT[sel]])
+                    accept = jnp.concatenate(
+                        [accept, jnp.ones(sel.size, bool)])
+                    # revisit spans exceed any fixed band
+                    pg_cfg = dataclasses.replace(pg_cfg, solver="direct")
     else:
         li = jnp.zeros((0,), jnp.int32)
         lj = jnp.zeros((0,), jnp.int32)
@@ -253,9 +295,9 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
     # start must not be snapped back to zero); past capacity it is the
     # marginalized summary of the evicted chain
     graph = pose_graph.make_graph(
-        rel, cfg.pose_graph, prior_pose=poses[0], loop_i=li, loop_j=lj,
+        rel, pg_cfg, prior_pose=poses[0], loop_i=li, loop_j=lj,
         loop_meas=lm, loop_mask=accept)
-    res = pose_graph.optimize_with_config(poses, graph, cfg.pose_graph)
+    res = pose_graph.optimize_with_config(poses, graph, pg_cfg)
     return np.asarray(res.poses)
 
 

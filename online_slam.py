@@ -38,6 +38,16 @@ def build_parser():
     p.add_argument("--refine_every", type=int, default=0, metavar="S",
                    help="run the sliding-window pose-graph refinement "
                         "every S steps (0 = never)")
+    p.add_argument("--refine_loops", type=str, default="none",
+                   choices=["none", "fixed", "descriptor"],
+                   help="loop closures inside the periodic refinement: "
+                        "'none' = between factors only; 'fixed' = gated "
+                        "fixed-interval closures over the window's scans; "
+                        "'descriptor' = fixed + in-window place "
+                        "recognition (streaming loop closure)")
+    p.add_argument("--robust_loss", type=str, default="none",
+                   choices=["none", "huber", "cauchy"],
+                   help="robust m-estimator on loop factors in refine")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="write the full online state here at the end "
                         "(and every --refine_every steps)")
@@ -77,8 +87,15 @@ def main(argv=None):
     from lidar_slam_tpu.utils.profiling import devices_or_die
     devices_or_die()
 
+    import dataclasses
     cfg = SlamConfig(map=MapConfig.from_cli(args.res, args.width,
                                             args.height))
+    if args.refine_loops == "descriptor" or args.robust_loss != "none":
+        cfg = dataclasses.replace(cfg, pose_graph=dataclasses.replace(
+            cfg.pose_graph,
+            loop_proposer=("descriptor" if args.refine_loops == "descriptor"
+                           else cfg.pose_graph.loop_proposer),
+            robust_loss=args.robust_loss))
 
     if args.synthetic:
         data = io_utils.synthetic_dataset(n_steps=args.synthetic, seed=0)
@@ -145,7 +162,21 @@ def main(argv=None):
                                 masks[t], cfg, K=K)
         track.append(np.asarray(st.pose))
         if args.refine_every and t % args.refine_every == 0:
-            refined = online.refine(st, cfg)
+            if args.refine_loops == "none":
+                refined = online.refine(st, cfg)
+            else:
+                # the reference's per-step gates (main.py:94-101) — the
+                # accept-all default admits identity-biased mid-window
+                # closures that compress the trajectory
+                from lidar_slam_tpu.models import odometry as odom_mod
+                max_d, max_y = odom_mod.max_step_gates(counts, gyro,
+                                                       cfg.robot.dt)
+                lo = max(0, t + 1 - int(st.poses_hist.shape[0]))
+                refined = online.refine(
+                    st, cfg, scans=points[lo:t + 1],
+                    scan_masks=masks[lo:t + 1],
+                    max_distance=float(max_d), max_yaw_deg=float(max_y),
+                    descriptor_range=(rmin, rmax))
             print(f"step {t}: refined window of {refined.shape[0]} poses "
                   f"(start step {online.window_start(st)})",
                   file=sys.stderr)

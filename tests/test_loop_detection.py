@@ -181,6 +181,45 @@ def test_suppress_verified_pairs_unit():
                                   [False, True, False, True, False])
 
 
+def test_online_refine_descriptor_closures(scene):
+    """Streaming loop closure: drive the revisit scene through online_step,
+    then refine() with loop_proposer='descriptor' — the in-window place
+    recognition finds the revisit and the refined window beats the drifted
+    online track by >= 2x (same engine as the offline path)."""
+    from lidar_slam_tpu.models import online
+
+    cfg = scene["cfg"]
+    counts = jnp.asarray(scene["counts"], jnp.float32)
+    gyro = jnp.asarray(scene["gyro"], jnp.float32)
+    points, masks, gt = scene["points"], scene["masks"], scene["gt"]
+
+    st = online.init_state(points[0], masks[0], cfg, n_max=512)
+    for t in range(1, N_STEPS):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], cfg, update_map=False)
+    track = np.asarray(st.poses_hist[:N_STEPS])
+
+    def ate(p):
+        return float(np.linalg.norm(np.asarray(p)[:, :2] - gt[:, :2],
+                                    axis=1).mean())
+
+    pg = dataclasses.replace(cfg.pose_graph, loop_proposer="descriptor",
+                             robust_loss="huber", max_lm_iters=30)
+    # the reference's per-step gates (run_slam uses the same) — without
+    # them the 35 accept-all identity-seeded 10-step closures bias the
+    # window toward "no motion" and the solve lands WORSE than the track
+    max_d, max_y = odometry.max_step_gates(counts, gyro, cfg.robot.dt)
+    refined = online.refine(
+        st, dataclasses.replace(cfg, pose_graph=pg),
+        scans=points, scan_masks=masks,
+        max_distance=float(max_d), max_yaw_deg=float(max_y))
+    assert refined.shape == (N_STEPS, 3)
+    ate_track, ate_ref = ate(track), ate(refined)
+    # the online track drifted like the offline scan matching did
+    assert ate_track > 1.0
+    assert ate_ref < ate_track / 2, (ate_track, ate_ref)
+
+
 def test_descriptor_closures_improve_ate(scene):
     """Full-pipeline A/B (run_slam, mode=gtsam): descriptor closures
     recover the loop — optimized ATE beats both the drifted scan-matching
