@@ -168,6 +168,73 @@ def synthetic_dataset(
     }
 
 
+def synthetic_revisit_dataset(
+    n_steps: int = 360,
+    n_rays: int = 541,
+    gyro_scale: float = 0.97,
+    radius: float = 3.0,
+    seed: int = 7,
+    range_min: float = 0.1,
+    range_max: float = 30.0,
+    laps: int = 1,
+) -> Dict:
+    """A revisit scene for loop-closure work: a circle of `radius` driven
+    `laps` times around the raycast room, so the trajectory revisits its
+    own earlier poses — while `gyro_scale` biases the measured yaw rate so
+    every pose estimate DRIFTS (~2.8 m by loop end at the defaults).
+    laps=1 revisits only the start; laps>=2 makes EVERY pose of lap k a
+    revisit of lap k-1 (pairs (i, i + n_steps/laps)) — the multi-site case.
+
+    Same schema as synthetic_dataset. This is the calibration scene for
+    the revisit proposers and the ICP-error verification gate
+    (models/slam.py, tests/test_loop_detection.py, tools/revisit_check.py);
+    the plain synthetic_dataset trajectory wanders without ever revisiting,
+    so it cannot exercise loop closure beyond fixed-interval pairs.
+    """
+    rng = np.random.default_rng(seed)
+    freq = 40.0
+    dt = 1.0 / freq
+    t0 = 1e9
+    stamps = t0 + np.arange(n_steps) * dt
+    w_true = 2 * np.pi * laps / (n_steps * dt)    # `laps` full turns
+    v_true = w_true * radius
+    t = np.arange(n_steps) * dt
+    theta = w_true * t
+    gt_poses = np.stack([radius * np.sin(theta),
+                         radius * (1 - np.cos(theta)), theta], axis=1)
+
+    ticks = np.full(n_steps, v_true / (0.0022 * freq))
+    counts = np.stack([ticks] * 4, axis=1) + rng.normal(0, 0.05, (n_steps, 4))
+    gyro = np.zeros((n_steps, 3))
+    gyro[:, 2] = w_true * gyro_scale + rng.normal(0, 2e-3, n_steps)
+    acc = np.zeros((n_steps, 3))
+    acc[:, 2] = 9.81
+
+    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
+    ranges = _raycast_room(gt_poses, angles, range_max, rng)
+    ranges = np.clip(ranges + rng.normal(0, 0.003, ranges.shape), 0.0,
+                     range_max + 5.0)
+    return {
+        "encoder": {"counts": counts, "stamps": stamps},
+        "lidar": {
+            "angle_min": np.radians(-135.0),
+            "angle_max": np.radians(135.0),
+            "angle_increment": np.radians(270.0) / (n_rays - 1),
+            "range_min": np.float64(range_min),
+            "range_max": np.float64(range_max),
+            "ranges": ranges,
+            "stamps": stamps + rng.normal(0, 1e-4, n_steps),
+        },
+        "imu": {
+            "angular_velocity": gyro,
+            "linear_acceleration": acc,
+            "stamps": stamps + rng.normal(0, 1e-4, n_steps),
+        },
+        "rgbd": {"disp_stamps": stamps[:10], "rgb_stamps": stamps[:10]},
+        "ground_truth": gt_poses,
+    }
+
+
 def _raycast_room(poses: np.ndarray, angles: np.ndarray, range_max: float,
                   rng: np.random.Generator) -> np.ndarray:
     """Analytic ray distances against a rectangular room plus circular

@@ -52,6 +52,15 @@ def build_parser():
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="Run on an N-step synthetic dataset instead of "
                              "reading npz files")
+    parser.add_argument("--synthetic_revisit", type=int, default=0,
+                        metavar="N",
+                        help="Run on an N-step synthetic REVISIT scene (a "
+                             "drifting circle driven back to its start; "
+                             "--synthetic_laps laps) — the loop-closure "
+                             "demo world for --loop_proposer")
+    parser.add_argument("--synthetic_laps", type=int, default=1,
+                        help="Laps for --synthetic_revisit (>=2 makes "
+                             "every pose a revisit of the previous lap)")
     parser.add_argument("--output_dir", type=str, default="outputs/",
                         help="Directory for stage .npy artifacts")
     parser.add_argument("--load_poses", type=str, default=None,
@@ -120,7 +129,13 @@ def main(argv=None):
     print("\n")
 
     banner("Loading the dataset and synchronizing the sensors...")
-    if args.synthetic:
+    if args.synthetic_revisit:
+        data = io.synthetic_revisit_dataset(n_steps=args.synthetic_revisit,
+                                            laps=args.synthetic_laps)
+        print(f"(synthetic revisit scene, {args.synthetic_revisit} steps, "
+              f"{args.synthetic_laps} lap(s))")
+        args.synthetic = args.synthetic_revisit  # downstream gating
+    elif args.synthetic:
         data = io.synthetic_dataset(n_steps=args.synthetic)
         print(f"(synthetic dataset, {args.synthetic} steps)")
     else:

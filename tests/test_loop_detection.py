@@ -35,32 +35,13 @@ N_STEPS = 360
 GATE = 1e-4  # PoseGraphConfig.proximity_max_err default
 
 
-def _revisit_scene(n_steps=N_STEPS, n_rays=541, gyro_scale=0.97, seed=7):
-    """Circle of radius 3 m driven exactly once around; the biased gyro
-    makes the estimate drift while ground truth returns to the start."""
-    rng = np.random.default_rng(seed)
-    freq = 40.0
-    dt = 1.0 / freq
-    radius = 3.0
-    w_true = 2 * np.pi / (n_steps * dt)
-    v_true = w_true * radius
-    t = np.arange(n_steps) * dt
-    theta = w_true * t
-    gt = np.stack([radius * np.sin(theta), radius * (1 - np.cos(theta)),
-                   theta], axis=1)
-    ticks = np.full(n_steps, v_true / (0.0022 * freq))
-    counts = np.stack([ticks] * 4, axis=1) + rng.normal(0, 0.05, (n_steps, 4))
-    gyro = np.zeros((n_steps, 3))
-    gyro[:, 2] = w_true * gyro_scale + rng.normal(0, 2e-3, n_steps)
-    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
-    ranges = io._raycast_room(gt, angles, 30.0, rng)
-    ranges = np.clip(ranges + rng.normal(0, 0.003, ranges.shape), 0.0, 35.0)
-    return counts, gyro, ranges, gt
-
-
 @pytest.fixture(scope="module")
 def scene():
-    counts, gyro, ranges, gt = _revisit_scene()
+    d = io.synthetic_revisit_dataset(n_steps=N_STEPS)
+    counts = d["encoder"]["counts"]
+    gyro = d["imu"]["angular_velocity"]
+    ranges = d["lidar"]["ranges"]
+    gt = d["ground_truth"]
     cfg = SlamConfig(lidar=LidarConfig(n_rays=ranges.shape[1]),
                      icp=IcpConfig(epsilon=0.001))
     points, masks = scan_ops.scans_to_points(

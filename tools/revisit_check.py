@@ -22,32 +22,14 @@ from lidar_slam_tpu.models import slam
 from lidar_slam_tpu.utils import io
 
 
-def revisit_scene(n_steps=360, n_rays=541, gyro_scale=0.97, seed=7):
-    """A circle of radius 3 m driven exactly once around, so the last poses
-    revisit the first. gyro_scale biases the measured yaw rate -> drift."""
-    rng = np.random.default_rng(seed)
-    freq = 40.0
-    dt = 1.0 / freq
-    radius = 3.0
-    w_true = 2 * np.pi / (n_steps * dt)          # one full turn
-    v_true = w_true * radius
-    t = np.arange(n_steps) * dt
-    theta = w_true * t
-    x = radius * np.sin(theta)
-    y = radius * (1 - np.cos(theta))
-    gt = np.stack([x, y, theta], axis=1)
-
-    ticks = np.full(n_steps, v_true / (0.0022 * freq))
-    counts = np.stack([ticks] * 4, axis=1)
-    counts += rng.normal(0, 0.05, counts.shape)
-
-    gyro = np.zeros((n_steps, 3))
-    gyro[:, 2] = w_true * gyro_scale + rng.normal(0, 2e-3, n_steps)
-
-    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
-    ranges = io._raycast_room(gt, angles, 30.0, rng)
-    ranges = np.clip(ranges + rng.normal(0, 0.003, ranges.shape), 0.0, 35.0)
-    return counts, gyro, ranges, gt
+def revisit_scene(n_steps=360, n_rays=541, gyro_scale=0.97, seed=7, laps=1):
+    """The shared revisit scene (io.synthetic_revisit_dataset) unpacked to
+    (counts, gyro, ranges, gt)."""
+    d = io.synthetic_revisit_dataset(n_steps=n_steps, n_rays=n_rays,
+                                     gyro_scale=gyro_scale, seed=seed,
+                                     laps=laps)
+    return (d["encoder"]["counts"], d["imu"]["angular_velocity"],
+            d["lidar"]["ranges"], d["ground_truth"])
 
 
 def ate(poses, gt):
