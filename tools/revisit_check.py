@@ -5,7 +5,7 @@ inside the raycast room, with a 3% gyro-scale bias so the estimated
 trajectory drifts — and compares mode="gtsam" runs with the reference's
 fixed-interval proposer vs the proximity proposer (+ robust loss).
 
-Usage: python tools/revisit_check.py [n_steps]
+Usage: python tools/revisit_check.py [n_steps] [laps]
 Prints proposal/acceptance stats, the ICP-error separation between true
 and aliased pairs, and final ATE per configuration.
 """
@@ -38,7 +38,8 @@ def ate(poses, gt):
 
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 360
-    counts, gyro, ranges, gt = revisit_scene(n_steps)
+    laps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    counts, gyro, ranges, gt = revisit_scene(n_steps, laps=laps)
 
     base_pg = PoseGraphConfig(max_lm_iters=30)
     cfg0 = SlamConfig(
