@@ -208,11 +208,12 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
     leading entries are ignored, the last n are used) — gated
     fixed-interval loop-closure ICPs are added exactly like the offline
     stage (gates default to accept-all; pass the odometry maxima for
-    reference gating). With cfg.pose_graph.loop_proposer="descriptor",
-    in-window revisit closures are ALSO detected by place recognition
-    over the window's scans (descriptors from per-point ranges ||p||,
-    binned over `descriptor_range`), ICP-verified, error-gated and
-    NMS'd exactly like the offline path (models/slam.py) — streaming
+    reference gating). With cfg.pose_graph.loop_proposer="descriptor"
+    (place recognition over the window's scans — descriptors from
+    per-point ranges ||p||, binned over `descriptor_range`) or
+    "proximity" (metric nearness on the window's poses), in-window
+    revisit closures are ALSO proposed, then ICP-verified, error-gated
+    and NMS'd exactly like the offline path (models/slam.py) — streaming
     loop closure, the piece that lets a long-running robot correct drift
     when it re-enters mapped space. Without scans, between factors only.
     The causal map is untouched.
@@ -254,22 +255,34 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
         li = jnp.asarray(cand)
         lj = jnp.asarray(cand + interval)
         lm = loop_T
-        if pg_cfg.loop_proposer == "descriptor":
-            # in-window place recognition: the descriptor is a histogram
-            # of point ranges, which equals the offline ranges-based one
-            # up to the lidar mounting offset (consistent within a run)
-            ranges = jnp.linalg.norm(pts3[..., :2], axis=-1)
-            pli, plj = descriptor_loop_candidates(
-                ranges, masks, descriptor_range[0], descriptor_range[1],
-                min_gap=pg_cfg.proximity_min_gap,
-                n_bins=pg_cfg.descriptor_bins,
-                rel_thresh=pg_cfg.descriptor_rel_thresh,
-                max_candidates=pg_cfg.proximity_max_candidates,
-                suppress_window=pg_cfg.proximity_suppress)
+        if pg_cfg.loop_proposer in ("proximity", "descriptor"):
+            if pg_cfg.loop_proposer == "descriptor":
+                # in-window place recognition: the descriptor is a
+                # histogram of point ranges, which equals the offline
+                # ranges-based one up to the lidar mounting offset
+                # (consistent within a run)
+                ranges = jnp.linalg.norm(pts3[..., :2], axis=-1)
+                pli, plj = descriptor_loop_candidates(
+                    ranges, masks, descriptor_range[0], descriptor_range[1],
+                    min_gap=pg_cfg.proximity_min_gap,
+                    n_bins=pg_cfg.descriptor_bins,
+                    rel_thresh=pg_cfg.descriptor_rel_thresh,
+                    max_candidates=pg_cfg.proximity_max_candidates,
+                    suppress_window=pg_cfg.proximity_suppress)
+                max_dist = pg_cfg.descriptor_max_dist
+            else:
+                from .slam import proximity_loop_candidates
+                pli, plj = proximity_loop_candidates(
+                    np.asarray(poses),
+                    min_gap=pg_cfg.proximity_min_gap,
+                    radius=pg_cfg.proximity_radius,
+                    max_candidates=pg_cfg.proximity_max_candidates,
+                    suppress_window=pg_cfg.proximity_suppress)
+                max_dist = 2.0 * pg_cfg.proximity_radius
             if pli.size:
                 pT, pacc, perr, _ = compute_loop_closures_pairs(
                     pts3, masks, jnp.asarray(pli), jnp.asarray(plj),
-                    float(pg_cfg.descriptor_max_dist), 0.0, gate_yaw=False)
+                    float(max_dist), 0.0, gate_yaw=False)
                 pacc = np.asarray(pacc) & (np.asarray(perr)
                                            < pg_cfg.proximity_max_err)
                 keep = suppress_verified_pairs(

@@ -39,12 +39,13 @@ def build_parser():
                    help="run the sliding-window pose-graph refinement "
                         "every S steps (0 = never)")
     p.add_argument("--refine_loops", type=str, default="none",
-                   choices=["none", "fixed", "descriptor"],
+                   choices=["none", "fixed", "proximity", "descriptor"],
                    help="loop closures inside the periodic refinement: "
                         "'none' = between factors only; 'fixed' = gated "
                         "fixed-interval closures over the window's scans; "
-                        "'descriptor' = fixed + in-window place "
-                        "recognition (streaming loop closure)")
+                        "'proximity' / 'descriptor' = fixed + in-window "
+                        "revisit detection (streaming loop closure; "
+                        "descriptor is drift-independent)")
     p.add_argument("--robust_loss", type=str, default="none",
                    choices=["none", "huber", "cauchy"],
                    help="robust m-estimator on loop factors in refine")
@@ -90,10 +91,13 @@ def main(argv=None):
     import dataclasses
     cfg = SlamConfig(map=MapConfig.from_cli(args.res, args.width,
                                             args.height))
-    if args.refine_loops == "descriptor" or args.robust_loss != "none":
+    if args.refine_loops in ("proximity", "descriptor") \
+            or args.robust_loss != "none":
         cfg = dataclasses.replace(cfg, pose_graph=dataclasses.replace(
             cfg.pose_graph,
-            loop_proposer=("descriptor" if args.refine_loops == "descriptor"
+            loop_proposer=(args.refine_loops
+                           if args.refine_loops in ("proximity",
+                                                    "descriptor")
                            else cfg.pose_graph.loop_proposer),
             robust_loss=args.robust_loss))
 
