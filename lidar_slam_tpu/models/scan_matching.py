@@ -49,6 +49,7 @@ def icp_all_pairs(
     nn_backend: str = "auto",
     schedule: str = "phased",
     partition: str = "cumsum",
+    trim_fraction: float = 1.0,
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -112,7 +113,8 @@ def icp_all_pairs(
     kwargs = dict(epsilon=epsilon, max_iters=max_iters,
                   stopping_thresh=stopping_thresh,
                   normalize_error=normalize_error,
-                  planar=planar, nn_backend=nn_backend)
+                  planar=planar, nn_backend=nn_backend,
+                  trim_fraction=trim_fraction)
 
     def resh(x):
         return x.reshape((n_chunks, C) + x.shape[1:])

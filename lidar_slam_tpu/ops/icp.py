@@ -73,6 +73,22 @@ def _error(src_t, matched, mask, normalize: bool):
     return err / (diag2 * n)
 
 
+def _trim_mask(d2: jnp.ndarray, mask: jnp.ndarray,
+               trim_fraction: float) -> jnp.ndarray:
+    """Per pair: the mask restricted to the best `trim_fraction` of VALID
+    points by squared correspondence distance (trimmed ICP, Chetverikov's
+    TrICP selection rule). Points sharing the threshold distance are all
+    kept, so the kept count can slightly exceed ceil(q * n_valid)."""
+    big = jnp.asarray(_INF, d2.dtype)
+    d2m = jnp.where(mask, d2, big)
+    order = jnp.sort(d2m, axis=-1)  # invalid sink to the end
+    n_valid = jnp.sum(mask, axis=-1)
+    k = jnp.clip(jnp.ceil(trim_fraction * n_valid).astype(jnp.int32),
+                 1, jnp.maximum(n_valid, 1))
+    thresh = jnp.take_along_axis(order, (k - 1)[..., None], axis=-1)
+    return mask & (d2m <= thresh)
+
+
 def icp_iteration(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -82,6 +98,7 @@ def icp_iteration(
     normalize_error: bool = False,
     planar: bool = False,
     nn_backend: str = "jnp",
+    trim_fraction: float = 1.0,
 ):
     """One batched ICP iteration (reference semantics: modules/icp.py:100-121).
 
@@ -90,6 +107,15 @@ def icp_iteration(
     i.e. the whole 2-D SLAM pipeline) the rigid fit uses the closed-form
     in-plane Kabsch instead of a rank-deficient 3x3 SVD — equivalent result,
     no iterative SVD (which stalls on TPU for degenerate matrices).
+
+    trim_fraction < 1.0 selects TRIMMED ICP (TrICP): each iteration the
+    rigid fit and the error use only the best `trim_fraction` of valid
+    source points by correspondence distance — the standard estimator for
+    PARTIAL-OVERLAP alignment (revisit scans that share only part of the
+    scene; the reference's whole-cloud fit drags the pose toward the
+    non-overlapping structure and its error prefers aliased alignments —
+    PERF.md round-3 negative result). 1.0 is the reference-parity path
+    with zero added work.
     """
     src_t = _transform(src, T_prev)
     if nn_backend == "pallas":
@@ -108,13 +134,17 @@ def icp_iteration(
     else:
         idx = nearest_neighbors(src_t, tgt, tgt_mask)
         matched = jnp.take_along_axis(tgt, idx[..., None], axis=-2)
+    fit_mask = src_mask
+    if trim_fraction < 1.0:
+        d2 = jnp.sum((src_t - matched) ** 2, axis=-1)
+        fit_mask = _trim_mask(d2, src_mask, trim_fraction)
     if planar:
         T_fit = kabsch_planar(src_t[..., :2], matched[..., :2],
-                              w=src_mask.astype(src.dtype))
+                              w=fit_mask.astype(src.dtype))
     else:
-        T_fit = kabsch(src_t, matched, w=src_mask.astype(src.dtype))
+        T_fit = kabsch(src_t, matched, w=fit_mask.astype(src.dtype))
     T_next = p_matmul(T_fit, T_prev)
-    err = _error(src_t, matched, src_mask, normalize_error)
+    err = _error(src_t, matched, fit_mask, normalize_error)
     return T_next, idx, err
 
 
@@ -131,13 +161,14 @@ class IcpCarry(NamedTuple):
 
 def _icp_body(src, tgt, src_mask, tgt_mask, c: IcpCarry,
               epsilon, max_iters, stopping_thresh, normalize_error,
-              planar, nn_backend) -> IcpCarry:
+              planar, nn_backend, trim_fraction=1.0) -> IcpCarry:
     """One iteration of the batched ICP loop: live pairs advance one Kabsch
     step and evaluate the reference's three stopping rules; done pairs
     freeze (reference loop body: modules/icp.py:167-181)."""
     T_new, idx, err = icp_iteration(src, tgt, src_mask, tgt_mask, c.T,
                                     normalize_error, planar=planar,
-                                    nn_backend=nn_backend)
+                                    nn_backend=nn_backend,
+                                    trim_fraction=trim_fraction)
     live = ~c.done
     # stopping rules evaluated with this iteration's error
     hit_eps = err < epsilon
@@ -158,7 +189,7 @@ def _icp_body(src, tgt, src_mask, tgt_mask, c: IcpCarry,
 
 def _icp_while(src, tgt, src_mask, tgt_mask, carry: IcpCarry,
                epsilon, max_iters, stopping_thresh, normalize_error,
-               planar, nn_backend) -> IcpCarry:
+               planar, nn_backend, trim_fraction=1.0) -> IcpCarry:
     """Iterate every live pair in the batch to its own convergence."""
 
     def cond(c: IcpCarry):
@@ -167,7 +198,8 @@ def _icp_while(src, tgt, src_mask, tgt_mask, carry: IcpCarry,
     def body(c: IcpCarry):
         return _icp_body(src, tgt, src_mask, tgt_mask, c,
                          epsilon, max_iters, stopping_thresh,
-                         normalize_error, planar, nn_backend)
+                         normalize_error, planar, nn_backend,
+                         trim_fraction)
 
     return jax.lax.while_loop(cond, body, carry)
 
@@ -185,7 +217,8 @@ def initial_icp_carry(init_T: jnp.ndarray, B: int, P: int,
 
 
 @partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
-                                   "normalize_error", "planar", "nn_backend"))
+                                   "normalize_error", "planar", "nn_backend",
+                                   "trim_fraction"))
 def run_icp_batch(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -198,6 +231,7 @@ def run_icp_batch(
     normalize_error: bool = False,
     planar: bool = False,
     nn_backend: str = "jnp",
+    trim_fraction: float = 1.0,
 ) -> IcpResult:
     """Run ICP to convergence for a whole batch of pairs.
 
@@ -209,12 +243,13 @@ def run_icp_batch(
     init = initial_icp_carry(init_T, B, P, src.dtype)
     out = _icp_while(src, tgt, src_mask, tgt_mask, init,
                      epsilon, max_iters, stopping_thresh, normalize_error,
-                     planar, nn_backend)
+                     planar, nn_backend, trim_fraction)
     return IcpResult(T=out.T, error=out.err, iters=out.k, correspondences=out.idx)
 
 
 @partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
-                                   "normalize_error", "planar", "nn_backend"))
+                                   "normalize_error", "planar", "nn_backend",
+                                   "trim_fraction"))
 def resume_icp_batch(
     src, tgt, src_mask, tgt_mask, carry: IcpCarry,
     epsilon: float = 0.01,
@@ -223,6 +258,7 @@ def resume_icp_batch(
     normalize_error: bool = False,
     planar: bool = False,
     nn_backend: str = "jnp",
+    trim_fraction: float = 1.0,
 ) -> IcpResult:
     """Continue a batch of pairs from a mid-run IcpCarry to convergence.
 
@@ -231,7 +267,7 @@ def resume_icp_batch(
     (which pairs share a while_loop), never the math."""
     out = _icp_while(src, tgt, src_mask, tgt_mask, carry,
                      epsilon, max_iters, stopping_thresh, normalize_error,
-                     planar, nn_backend)
+                     planar, nn_backend, trim_fraction)
     return IcpResult(T=out.T, error=out.err, iters=out.k,
                      correspondences=out.idx)
 
@@ -240,13 +276,14 @@ def icp_step_batch(
     src, tgt, src_mask, tgt_mask, carry: IcpCarry,
     epsilon: float, max_iters: int, stopping_thresh: float,
     normalize_error: bool, planar: bool, nn_backend: str,
+    trim_fraction: float = 1.0,
 ) -> IcpCarry:
     """Exactly ONE iteration of the batched ICP loop (the body of
     _icp_while), for two-phase schedules that sort pairs by difficulty
     after the first iteration. Bit-identical to one while_loop pass."""
     return _icp_body(src, tgt, src_mask, tgt_mask, carry,
                      epsilon, max_iters, stopping_thresh, normalize_error,
-                     planar, nn_backend)
+                     planar, nn_backend, trim_fraction)
 
 
 def lift_to_3d(pts: jnp.ndarray) -> jnp.ndarray:

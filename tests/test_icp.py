@@ -302,3 +302,63 @@ def test_nearest_neighbor_dists_matches_reference_semantics():
     m = np.take_along_axis(np.asarray(tgt), np.asarray(idx)[..., None], -2)
     want = ((np.asarray(src) - m) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(d2), want, atol=1e-6)
+
+
+def _partial_overlap_problem(seed=11):
+    """src and tgt share only 60% of their structure: src = [common, A],
+    tgt = [common transformed, B] with A/B disjoint side structures. The
+    whole-cloud fit is dragged by the A<->B mis-correspondences; trimmed
+    ICP (trim <= 0.6) must use only the common part."""
+    rng = np.random.default_rng(seed)
+    common = np.concatenate([
+        np.stack([np.linspace(-2, 2, 120), np.full(120, 1.5),
+                  np.zeros(120)], 1),
+        np.stack([np.full(120, -2.0), np.linspace(-1.5, 1.5, 120),
+                  np.zeros(120)], 1),
+    ])
+    common += rng.normal(0, 0.005, common.shape)
+    a_side = np.stack([np.linspace(2.5, 4.5, 160), np.full(160, -1.0),
+                       np.zeros(160)], 1) + rng.normal(0, 0.005, (160, 3))
+    b_side = np.stack([np.linspace(3.0, 5.0, 160), np.full(160, -2.0),
+                       np.zeros(160)], 1) + rng.normal(0, 0.005, (160, 3))
+    R, t = _rot(0.12), np.array([0.25, -0.15, 0.0])
+    src = np.concatenate([common, a_side])
+    tgt = np.concatenate([common @ R.T + t, b_side])
+    return src, tgt, R, t
+
+
+def test_trimmed_icp_partial_overlap():
+    """Partial overlap: untrimmed ICP is dragged off the true transform by
+    non-overlapping structure; trimmed ICP (TrICP) recovers it."""
+    src, tgt, R, t = _partial_overlap_problem()
+    full = icp_ops.run_icp_batch(
+        jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+        jnp.ones((1, src.shape[0]), bool), jnp.ones((1, tgt.shape[0]), bool),
+        jnp.eye(4)[None], epsilon=1e-12, stopping_thresh=1e-12, planar=True)
+    trim = icp_ops.run_icp_batch(
+        jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+        jnp.ones((1, src.shape[0]), bool), jnp.ones((1, tgt.shape[0]), bool),
+        jnp.eye(4)[None], epsilon=1e-12, stopping_thresh=1e-12, planar=True,
+        trim_fraction=0.55)
+    T_full, T_trim = np.asarray(full.T[0]), np.asarray(trim.T[0])
+    err_full = np.linalg.norm(T_full[:3, 3] - t)
+    err_trim = np.linalg.norm(T_trim[:3, 3] - t)
+    np.testing.assert_allclose(T_trim[:3, :3], R, atol=5e-3)
+    assert err_trim < 0.02, err_trim
+    assert err_full > 5 * err_trim, (err_full, err_trim)
+
+
+def test_trim_fraction_one_is_parity():
+    """trim_fraction=1.0 is bit-identical to the default path."""
+    rng = np.random.default_rng(12)
+    src = rng.normal(size=(1, 200, 3)); src[..., 2] = 0
+    tgt = src + rng.normal(0, 0.02, src.shape); tgt[..., 2] = 0
+    m = jnp.ones((1, 200), bool)
+    a = icp_ops.run_icp_batch(jnp.asarray(src), jnp.asarray(tgt), m, m,
+                              jnp.eye(4)[None], planar=True)
+    b = icp_ops.run_icp_batch(jnp.asarray(src), jnp.asarray(tgt), m, m,
+                              jnp.eye(4)[None], planar=True,
+                              trim_fraction=1.0)
+    np.testing.assert_array_equal(np.asarray(a.T), np.asarray(b.T))
+    np.testing.assert_array_equal(np.asarray(a.error), np.asarray(b.error))
+    assert int(a.iters[0]) == int(b.iters[0])
