@@ -292,7 +292,11 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
                     sel = np.where(keep)[0]
                     li = jnp.concatenate([li, jnp.asarray(pli[sel])])
                     lj = jnp.concatenate([lj, jnp.asarray(plj[sel])])
-                    lm = jnp.concatenate([lm, pT[sel]])
+                    # invert: ICP(src=i, tgt=j) returns T_j^-1 T_i; the
+                    # loop residual wants T_i^-1 T_j (see models/slam.py
+                    # run_slam — the reference's own fixed path feeds the
+                    # uninverted output, harmless only near identity)
+                    lm = jnp.concatenate([lm, se2.inverse_T(pT[sel])])
                     accept = jnp.concatenate(
                         [accept, jnp.ones(sel.size, bool)])
                     # revisit spans exceed any fixed band

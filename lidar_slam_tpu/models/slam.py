@@ -459,7 +459,16 @@ def run_slam(
                     sel = np.where(keep)[0]
                     loop_i = jnp.concatenate([loop_i, jnp.asarray(pli[sel])])
                     loop_j = jnp.concatenate([loop_j, jnp.asarray(plj[sel])])
-                    loop_T = jnp.concatenate([loop_T, pT[sel]])
+                    # CONVENTION: ICP aligning scan i onto scan j returns
+                    # T_j^-1 T_i, but the loop residual (pose_graph.py
+                    # rel_l = T_i^-1 T_j) wants the INVERSE. The reference
+                    # feeds the uninverted ICP output to
+                    # BetweenFactorPose2(i, j, .) (main.py:171) — harmless
+                    # there because its gates only pass near-identity
+                    # transforms, and kept for the fixed path (parity) —
+                    # but revisit transforms are far from identity, where
+                    # the flip corrupts translation by up to 2|t|.
+                    loop_T = jnp.concatenate([loop_T, se2.inverse_T(pT[sel])])
                     accept = jnp.concatenate(
                         [accept, jnp.ones(sel.size, bool)])
                     pg_cfg = dataclasses.replace(pg_cfg, solver="direct")

@@ -235,6 +235,72 @@ def synthetic_revisit_dataset(
     }
 
 
+def synthetic_outback_dataset(
+    n_steps: int = 400,
+    n_rays: int = 541,
+    gyro_scale: float = 0.99,
+    turn_steps: int = 40,
+    speed: float = 0.8,
+    seed: int = 3,
+    range_min: float = 0.1,
+    range_max: float = 30.0,
+) -> Dict:
+    """A there-and-back scene: straight out, one 180-degree turn, straight
+    back along (nearly) the same line — so every inbound pose revisits an
+    outbound pose at ~0.5 m lateral offset (the turn diameter) and
+    ~180-degree HEADING DIFFERENCE. This is the opposite-heading revisit
+    case: appearance descriptors fail here (the 270-degree FOV windows
+    barely overlap — PERF.md round-3 negative result), but metric
+    proximity proposals + prior-seeded TRIMMED ICP verification close it.
+    gyro_scale biases the measured yaw rate (drift). Same schema as
+    synthetic_dataset.
+    """
+    rng = np.random.default_rng(seed)
+    freq = 40.0
+    dt = 1.0 / freq
+    t0 = 1e9
+    stamps = t0 + np.arange(n_steps) * dt
+    out = (n_steps - turn_steps) // 2
+    v = np.full(n_steps, speed)
+    w = np.zeros(n_steps)
+    w[out:out + turn_steps] = np.pi / (turn_steps * dt)
+    theta = np.cumsum(w * dt)
+    gt_poses = np.stack([np.cumsum(v * dt * np.cos(theta)),
+                         np.cumsum(v * dt * np.sin(theta)), theta], axis=1)
+
+    ticks = v / (0.0022 * freq)
+    counts = np.stack([ticks] * 4, axis=1) + rng.normal(0, 0.05,
+                                                        (n_steps, 4))
+    gyro = np.zeros((n_steps, 3))
+    gyro[:, 2] = w * gyro_scale + rng.normal(0, 2e-3, n_steps)
+    acc = np.zeros((n_steps, 3))
+    acc[:, 2] = 9.81
+
+    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
+    ranges = _raycast_room(gt_poses, angles, range_max, rng)
+    ranges = np.clip(ranges + rng.normal(0, 0.003, ranges.shape), 0.0,
+                     range_max + 5.0)
+    return {
+        "encoder": {"counts": counts, "stamps": stamps},
+        "lidar": {
+            "angle_min": np.radians(-135.0),
+            "angle_max": np.radians(135.0),
+            "angle_increment": np.radians(270.0) / (n_rays - 1),
+            "range_min": np.float64(range_min),
+            "range_max": np.float64(range_max),
+            "ranges": ranges,
+            "stamps": stamps + rng.normal(0, 1e-4, n_steps),
+        },
+        "imu": {
+            "angular_velocity": gyro,
+            "linear_acceleration": acc,
+            "stamps": stamps + rng.normal(0, 1e-4, n_steps),
+        },
+        "rgbd": {"disp_stamps": stamps[:10], "rgb_stamps": stamps[:10]},
+        "ground_truth": gt_poses,
+    }
+
+
 def _raycast_room(poses: np.ndarray, angles: np.ndarray, range_max: float,
                   rng: np.random.Generator) -> np.ndarray:
     """Analytic ray distances against a rectangular room plus circular
