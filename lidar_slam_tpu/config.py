@@ -180,6 +180,32 @@ class PoseGraphConfig:
     proximity_min_gap: int = 100        # min steps between revisit pair
     proximity_max_candidates: int = 256
     proximity_suppress: int = 20        # non-max suppression window (steps)
+    # Verification seeding for proximity pairs: "identity" (like the
+    # reference's loop ICPs, main.py:164 — only works when the revisit
+    # heading difference is small) or "estimate" (seed each pair's ICP
+    # from the ESTIMATED relative pose — handles ANY heading difference,
+    # e.g. driving a loop back the other way; pair with proximity_trim
+    # < 1 since opposite-heading scans share only part of their FOV).
+    # With "estimate" the acceptance gates change: ICP error <
+    # proximity_max_err AND the CORRECTION from the seed is bounded
+    # (translation < 2*proximity_radius, yaw < proximity_max_yaw_corr) —
+    # the proposer's drift bound is exactly what makes a bounded
+    # correction the right gate.
+    proximity_seed: str = "identity"
+    proximity_trim: float = 1.0         # TrICP fraction for verification
+    proximity_max_yaw_corr: float = 20.0  # deg; gate for seeded mode
+    # Seeded-mode error gate, RELATIVE to a self-calibrated floor: the
+    # median converged trimmed error of the same verification on 32
+    # consecutive-scan control pairs (absolute thresholds do not travel
+    # across ray densities / room sizes — see
+    # models/slam.verify_revisit_pairs_seeded).
+    proximity_err_rel: float = 50.0
+    # Measured on the reversed-lap scene (drive a circle, turn around,
+    # retrace it backwards; tools/revisit_check.py --reverse): seeded
+    # trimmed (0.55) verification measures the ~180-degree revisit
+    # transforms to 12 mm median, and 10 kept closures improve cross-lap
+    # map consistency 4x (133 -> 32 cm) where fixed-interval closures do
+    # nothing (130 cm) — tests/test_loop_detection.py.
     # Verification gate: a revisit closure is accepted only if its
     # identity-seeded ICP converges to a normalized error below this.
     # Measured separation on the synthetic revisit scene

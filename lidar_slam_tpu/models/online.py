@@ -256,6 +256,7 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
         lj = jnp.asarray(cand + interval)
         lm = loop_T
         if pg_cfg.loop_proposer in ("proximity", "descriptor"):
+            seeded = False
             if pg_cfg.loop_proposer == "descriptor":
                 # in-window place recognition: the descriptor is a
                 # histogram of point ranges, which equals the offline
@@ -279,12 +280,20 @@ def refine(state: OnlineState, cfg: SlamConfig = SlamConfig(),
                     max_candidates=pg_cfg.proximity_max_candidates,
                     suppress_window=pg_cfg.proximity_suppress)
                 max_dist = 2.0 * pg_cfg.proximity_radius
+                seeded = pg_cfg.proximity_seed == "estimate"
             if pli.size:
-                pT, pacc, perr, _ = compute_loop_closures_pairs(
-                    pts3, masks, jnp.asarray(pli), jnp.asarray(plj),
-                    float(max_dist), 0.0, gate_yaw=False)
-                pacc = np.asarray(pacc) & (np.asarray(perr)
-                                           < pg_cfg.proximity_max_err)
+                if seeded:
+                    # prior-seeded trimmed verification (any-heading
+                    # revisits; see models/slam.py)
+                    from .slam import verify_revisit_pairs_seeded
+                    pT, pacc, perr = verify_revisit_pairs_seeded(
+                        pts3, masks, pli, plj, poses, pg_cfg)
+                else:
+                    pT, pacc, perr, _ = compute_loop_closures_pairs(
+                        pts3, masks, jnp.asarray(pli), jnp.asarray(plj),
+                        float(max_dist), 0.0, gate_yaw=False)
+                    pacc = np.asarray(pacc) & (np.asarray(perr)
+                                               < pg_cfg.proximity_max_err)
                 keep = suppress_verified_pairs(
                     pli, plj, np.asarray(perr), pacc,
                     pg_cfg.proximity_suppress)

@@ -43,7 +43,9 @@ def loop_closure_candidates(n_poses: int, fixed_interval: int) -> np.ndarray:
     return np.arange(0, n_poses - fixed_interval, fixed_interval)
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "gate_yaw"))
+@partial(jax.jit, static_argnames=("chunk_size", "gate_yaw",
+                                   "trim_fraction", "epsilon",
+                                   "stopping_thresh"))
 def compute_loop_closures_pairs(
     points3: jnp.ndarray,
     masks: jnp.ndarray,
@@ -53,6 +55,10 @@ def compute_loop_closures_pairs(
     max_yaw_deg: float,
     chunk_size: int = 64,
     gate_yaw: bool = True,
+    seed_T: jnp.ndarray | None = None,
+    trim_fraction: float = 1.0,
+    epsilon: float = 0.01,
+    stopping_thresh: float = 1e-4,
 ):
     """Loop-closure ICPs for arbitrary (i, j) pairs, batched, with the
     reference gate semantics (main.py:161-172): identity-seeded ICP of
@@ -62,19 +68,40 @@ def compute_loop_closures_pairs(
     signed angle, not its absolute value — replicated faithfully).
     gate_yaw=False is for proximity revisit pairs, whose relative heading
     is unconstrained by the per-step motion bound.
+
+    seed_T (B, 3, 3) SE(2) seeds replace the identity seeds (prior-seeded
+    verification — required for revisits with large heading difference,
+    where identity is outside the true basin); with seeds the translation
+    gate applies to the CORRECTION |t - t_seed| rather than |t| (the
+    proposer's drift bound bounds the correction, not the transform).
+    trim_fraction < 1 runs TRIMMED ICP (ops/icp.py) for partial-overlap
+    pairs. epsilon/stopping_thresh default to the reference loop-ICP
+    settings (0.01 normalized / 1e-4), under which the loop stops almost
+    immediately — fine for the reference's near-identity gate, but
+    seeded verification needs CONVERGED measurements: pass tight values
+    (slam's seeded path uses 1e-9 / 1e-8). Defaults are exact
+    reference-parity behavior.
     """
     src = points3[loop_i]
     tgt = points3[loop_j]
     sm = masks[loop_i]
     tm = masks[loop_j]
     B = src.shape[0]
-    eye = jnp.tile(jnp.eye(4, dtype=points3.dtype), (B, 1, 1))
+    if seed_T is None:
+        seeds = jnp.tile(jnp.eye(4, dtype=points3.dtype), (B, 1, 1))
+    else:
+        seeds = se2.TSE3_from_TSE2(jnp.asarray(seed_T, points3.dtype))
     T_icp, errors, iters = scan_matching.icp_all_pairs(
-        src, tgt, sm, tm, eye,
-        epsilon=0.01, normalize_error=True, chunk_size=chunk_size,
-        planar=True)
+        src, tgt, sm, tm, seeds,
+        epsilon=epsilon, stopping_thresh=stopping_thresh,
+        normalize_error=True, chunk_size=chunk_size,
+        planar=True, trim_fraction=trim_fraction)
     T2 = se2.TSE2_from_TSE3(T_icp)
-    translation = jnp.linalg.norm(T2[:, :2, 2], axis=-1)
+    if seed_T is None:
+        translation = jnp.linalg.norm(T2[:, :2, 2], axis=-1)
+    else:
+        translation = jnp.linalg.norm(
+            T2[:, :2, 2] - jnp.asarray(seed_T)[:, :2, 2], axis=-1)
     accept = translation < max_distance
     if gate_yaw:
         angle = jnp.arctan2(T2[:, 1, 0], T2[:, 0, 0])
@@ -307,6 +334,65 @@ def suppress_verified_pairs(
     return keep
 
 
+def verify_revisit_pairs_seeded(
+    pts3: jnp.ndarray,
+    masks: jnp.ndarray,
+    pli: np.ndarray,
+    plj: np.ndarray,
+    est_poses: jnp.ndarray,
+    pg,
+    chunk_size: int = 64,
+) -> tuple[jnp.ndarray, np.ndarray, np.ndarray]:
+    """Prior-seeded trimmed verification of revisit pairs
+    (PoseGraphConfig.proximity_seed="estimate").
+
+    Each pair's ICP is seeded from the ESTIMATED relative pose and run to
+    CONVERGENCE (epsilon 1e-9 — the reference's loop-ICP epsilon of 0.01
+    stops before refining anything) with TrICP trim pg.proximity_trim.
+    Acceptance gates:
+      - translation correction from the seed < 2 * proximity_radius and
+        wrapped yaw correction < proximity_max_yaw_corr (the proposer's
+        drift bound bounds the correction);
+      - converged trimmed error < proximity_err_rel x the SELF-CALIBRATED
+        noise floor: the median error of the same verification run on 32
+        consecutive-scan pairs (guaranteed same-place, full overlap).
+        An absolute threshold does not travel across scenes — the
+        normalized trimmed error scales with ray density, room diagonal
+        and scan baseline (measured: genuine revisits sit at 1e-6..1e-5
+        in one scene and 2e-4 in another, while their ratio to the
+        consecutive-pair floor stays within ~an order of magnitude).
+
+    Returns (pT, accept, errors): SE(2) measurements (ICP convention
+    T_j^-1 T_i — invert before feeding the pose graph), boolean gate,
+    converged trimmed errors.
+    """
+    est_poses = jnp.asarray(est_poses)
+    seed2 = se2.get_relative_pose(est_poses[plj], est_poses[pli])
+    max_dist = 2.0 * pg.proximity_radius
+    kw = dict(chunk_size=chunk_size, gate_yaw=False,
+              trim_fraction=float(pg.proximity_trim),
+              epsilon=1e-9, stopping_thresh=1e-8)
+    pT, pacc, perr, _ = compute_loop_closures_pairs(
+        pts3, masks, jnp.asarray(pli), jnp.asarray(plj),
+        float(max_dist), 0.0, seed_T=seed2, **kw)
+    # control batch: consecutive pairs define the converged-error floor
+    n = int(est_poses.shape[0])
+    cidx = jnp.asarray(np.linspace(0, n - 2, min(32, n - 1)).astype(np.int32))
+    cs2 = se2.get_relative_pose(est_poses[cidx + 1], est_poses[cidx])
+    _, _, cerr, _ = compute_loop_closures_pairs(
+        pts3, masks, cidx, cidx + 1, float(max_dist), 0.0,
+        seed_T=cs2, **kw)
+    scale = float(np.median(np.asarray(cerr)))
+    perr = np.asarray(perr)
+    accept = np.asarray(pacc) & (perr < pg.proximity_err_rel * scale)
+    pT_np, s_np = np.asarray(pT), np.asarray(seed2)
+    dyaw = (np.arctan2(pT_np[:, 1, 0], pT_np[:, 0, 0])
+            - np.arctan2(s_np[:, 1, 0], s_np[:, 0, 0]))
+    dyaw = np.abs((dyaw + np.pi) % (2 * np.pi) - np.pi)
+    accept = accept & (np.degrees(dyaw) < pg.proximity_max_yaw_corr)
+    return pT, accept, perr
+
+
 def resume_from_poses(
     poses: np.ndarray,
     ranges: np.ndarray,
@@ -424,6 +510,7 @@ def run_slam(
             # revisit closures on top of the fixed-interval set; their
             # spans are unbounded, so the banded solver no longer applies
             pg = cfg.pose_graph
+            seeded = False
             if pg.loop_proposer == "proximity":
                 pli, plj = proximity_loop_candidates(
                     np.asarray(final_poses),
@@ -432,6 +519,7 @@ def run_slam(
                     max_candidates=pg.proximity_max_candidates,
                     suppress_window=pg.proximity_suppress)
                 max_dist = 2.0 * pg.proximity_radius
+                seeded = pg.proximity_seed == "estimate"
             else:
                 pli, plj = descriptor_loop_candidates(
                     ranges, masks, float(range_min), float(range_max),
@@ -442,14 +530,22 @@ def run_slam(
                     suppress_window=pg.proximity_suppress)
                 max_dist = pg.descriptor_max_dist
             if pli.size:
-                pT, pacc, perr, _ = compute_loop_closures_pairs(
-                    pts3, masks, jnp.asarray(pli), jnp.asarray(plj),
-                    float(max_dist), 0.0,
-                    chunk_size=chunk_size, gate_yaw=False)
-                # the decisive gate: perceptually-aliased false revisits
-                # pass the translation test but stall at high ICP error
-                pacc = np.asarray(pacc) & (np.asarray(perr)
-                                           < cfg.pose_graph.proximity_max_err)
+                if seeded:
+                    # prior-seeded trimmed verification (any-heading
+                    # revisits) with the self-calibrated error gate
+                    pT, pacc, perr = verify_revisit_pairs_seeded(
+                        pts3, masks, pli, plj, final_poses, pg,
+                        chunk_size=chunk_size)
+                else:
+                    pT, pacc, perr, _ = compute_loop_closures_pairs(
+                        pts3, masks, jnp.asarray(pli), jnp.asarray(plj),
+                        float(max_dist), 0.0,
+                        chunk_size=chunk_size, gate_yaw=False)
+                    # the decisive gate: perceptually-aliased false
+                    # revisits pass the translation test but stall at
+                    # high ICP error
+                    pacc = np.asarray(pacc) & (
+                        np.asarray(perr) < cfg.pose_graph.proximity_max_err)
                 # NMS after verification (error-ranked; see the
                 # proximity_loop_candidates docstring for why not before)
                 keep = suppress_verified_pairs(

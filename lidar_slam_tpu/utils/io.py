@@ -235,6 +235,74 @@ def synthetic_revisit_dataset(
     }
 
 
+def synthetic_reverse_lap_dataset(
+    n_lap: int = 360,
+    n_rays: int = 541,
+    gyro_scale: float = 0.98,
+    turn_steps: int = 20,
+    radius: float = 3.0,
+    seed: int = 7,
+    range_min: float = 0.1,
+    range_max: float = 30.0,
+) -> Dict:
+    """Drive a circle CCW, turn 180 degrees, retrace it CW: every lap-2
+    pose revisits a lap-1 pose with ~180-degree HEADING DIFFERENCE —
+    the any-heading revisit benchmark. Appearance descriptors cannot
+    propose these (the 270-degree FOV windows barely overlap), but
+    metric proximity + prior-seeded TRIMMED ICP verification
+    (PoseGraphConfig.proximity_seed="estimate", proximity_trim~0.55)
+    measures them to ~mm and the closures restore cross-lap map
+    consistency. gyro_scale biases the measured yaw rate (drift). Same
+    schema as synthetic_dataset; total steps = 2*n_lap + turn_steps.
+    """
+    rng = np.random.default_rng(seed)
+    freq = 40.0
+    dt = 1.0 / freq
+    t0 = 1e9
+    n = 2 * n_lap + turn_steps
+    stamps = t0 + np.arange(n) * dt
+    w0 = 2 * np.pi / (n_lap * dt)
+    v = np.full(n, w0 * radius)
+    w = np.zeros(n)
+    w[:n_lap] = w0
+    w[n_lap:n_lap + turn_steps] = np.pi / (turn_steps * dt)
+    w[n_lap + turn_steps:] = -w0
+    theta = np.cumsum(w * dt)
+    gt_poses = np.stack([np.cumsum(v * dt * np.cos(theta)),
+                         np.cumsum(v * dt * np.sin(theta)), theta], axis=1)
+
+    counts = np.stack([v / (0.0022 * freq)] * 4, axis=1)
+    counts += rng.normal(0, 0.05, counts.shape)
+    gyro = np.zeros((n, 3))
+    gyro[:, 2] = w * gyro_scale + rng.normal(0, 2e-3, n)
+    acc = np.zeros((n, 3))
+    acc[:, 2] = 9.81
+
+    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
+    ranges = _raycast_room(gt_poses, angles, range_max, rng)
+    ranges = np.clip(ranges + rng.normal(0, 0.003, ranges.shape), 0.0,
+                     range_max + 5.0)
+    return {
+        "encoder": {"counts": counts, "stamps": stamps},
+        "lidar": {
+            "angle_min": np.radians(-135.0),
+            "angle_max": np.radians(135.0),
+            "angle_increment": np.radians(270.0) / (n_rays - 1),
+            "range_min": np.float64(range_min),
+            "range_max": np.float64(range_max),
+            "ranges": ranges,
+            "stamps": stamps + rng.normal(0, 1e-4, n),
+        },
+        "imu": {
+            "angular_velocity": gyro,
+            "linear_acceleration": acc,
+            "stamps": stamps + rng.normal(0, 1e-4, n),
+        },
+        "rgbd": {"disp_stamps": stamps[:10], "rgb_stamps": stamps[:10]},
+        "ground_truth": gt_poses,
+    }
+
+
 def synthetic_outback_dataset(
     n_steps: int = 400,
     n_rays: int = 541,
@@ -313,7 +381,16 @@ def _raycast_room(poses: np.ndarray, angles: np.ndarray, range_max: float,
 
     th = poses[:, 2:3] + angles[None, :]  # (N, R) world-frame ray angles
     c, s = np.cos(th), np.sin(th)
-    px, py = poses[:, 0:1], poses[:, 1:2]
+    # rays originate at the SENSOR, which sits p_rl forward of the body
+    # frame (LidarConfig.p_rl = 0.13323 m; ops/scan.py adds that offset
+    # back when converting ranges to body-frame points). Casting from the
+    # body origin instead is invisible to same-heading scan pairs but
+    # biases any opposite-heading alignment by exactly 2|p_rl| = 0.266 m
+    # (found by the reversed-lap closure probe: GT-seeded trimmed ICP
+    # landed 0.263-0.268 m off with 0.05-degree yaw error).
+    lidar_off = 0.13323
+    px = poses[:, 0:1] + lidar_off * np.cos(poses[:, 2:3])
+    py = poses[:, 1:2] + lidar_off * np.sin(poses[:, 2:3])
 
     with np.errstate(divide="ignore", invalid="ignore"):
         tx = np.where(c > 0, (xmax - px) / c, np.where(c < 0, (xmin - px) / c, np.inf))

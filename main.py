@@ -81,6 +81,18 @@ def build_parser():
                         choices=["none", "huber", "cauchy"],
                         help="Robust m-estimator on loop factors in the "
                              "pose-graph solve (gtsam mEstimator analog)")
+    parser.add_argument("--proximity_seed", type=str, default="identity",
+                        choices=["identity", "estimate"],
+                        help="Verification seeding for proximity revisit "
+                             "pairs: 'estimate' seeds each pair's ICP "
+                             "from the estimated relative pose (handles "
+                             "ANY heading difference; pairs with "
+                             "--proximity_trim < 1)")
+    parser.add_argument("--proximity_trim", type=float, default=1.0,
+                        help="Trimmed-ICP fraction for revisit "
+                             "verification (partial-overlap scans; "
+                             "0.55 measured best for ~180-degree "
+                             "revisits at 270-degree FOV)")
     return parser
 
 
@@ -150,11 +162,15 @@ def main(argv=None):
     banner("Running the TPU SLAM pipeline...")
     import dataclasses
     cfg = SlamConfig(map=MapConfig.from_cli(args.res, args.width, args.height))
-    if args.loop_proposer != "fixed" or args.robust_loss != "none":
+    if (args.loop_proposer != "fixed" or args.robust_loss != "none"
+            or args.proximity_seed != "identity"
+            or args.proximity_trim != 1.0):
         cfg = dataclasses.replace(
             cfg, pose_graph=dataclasses.replace(
                 cfg.pose_graph, loop_proposer=args.loop_proposer,
-                robust_loss=args.robust_loss))
+                robust_loss=args.robust_loss,
+                proximity_seed=args.proximity_seed,
+                proximity_trim=args.proximity_trim))
     if args.load_poses:
         result = slam.resume_from_poses(
             io.load_numpy(args.load_poses),

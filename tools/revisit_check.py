@@ -6,8 +6,12 @@ trajectory drifts — and compares mode="gtsam" runs with the reference's
 fixed-interval proposer vs the proximity proposer (+ robust loss).
 
 Usage: python tools/revisit_check.py [n_steps] [laps]
+       python tools/revisit_check.py --reverse [n_lap]
 Prints proposal/acceptance stats, the ICP-error separation between true
-and aliased pairs, and final ATE per configuration.
+and aliased pairs, and final ATE per configuration. --reverse runs the
+OPPOSITE-HEADING benchmark instead (drive a circle, turn around, retrace
+it backwards): fixed-interval vs prior-seeded trimmed proximity closures,
+scored by cross-lap consistency (the gauge-free map-ghosting metric).
 """
 import sys
 
@@ -36,7 +40,55 @@ def ate(poses, gt):
     return float(np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1).mean())
 
 
+def main_reverse():
+    import dataclasses
+
+    import jax.numpy as jnp
+    from lidar_slam_tpu.utils import se2
+
+    n_lap = int(sys.argv[2]) if len(sys.argv) > 2 else 360
+    d = io.synthetic_reverse_lap_dataset(n_lap=n_lap)
+    gt = d["ground_truth"]
+    cfg0 = SlamConfig(lidar=LidarConfig(n_rays=d["lidar"]["ranges"].shape[1]),
+                      icp=IcpConfig(epsilon=0.001))
+
+    cj = np.arange(n_lap + 40, 2 * n_lap + 20, 20)
+    ci = np.array([int(np.argmin(np.linalg.norm(
+        gt[:n_lap, :2] - gt[j, :2], axis=1))) for j in cj])
+    ctrue = np.asarray(se2.get_relative_pose(jnp.asarray(gt)[ci],
+                                             jnp.asarray(gt)[cj]))
+
+    def consistency(p):
+        p = jnp.asarray(np.asarray(p))
+        r = np.asarray(se2.get_relative_pose(p[ci], p[cj]))
+        return float(np.mean(np.linalg.norm(
+            r[:, :2, 2] - ctrue[:, :2, 2], axis=1)))
+
+    variants = {
+        "fixed": PoseGraphConfig(max_lm_iters=40),
+        "proximity-seeded": PoseGraphConfig(
+            max_lm_iters=40, loop_proposer="proximity",
+            proximity_seed="estimate", proximity_trim=0.55,
+            proximity_radius=2.0, robust_loss="huber"),
+    }
+    for name, pg in variants.items():
+        res = slam.run_slam(
+            d["encoder"]["counts"], d["imu"]["angular_velocity"],
+            d["lidar"]["ranges"], 0.1, 30.0, mode="gtsam",
+            fixed_interval=10,
+            cfg=dataclasses.replace(cfg0, pose_graph=pg),
+            build_map=False, chunk_size=16)
+        print(f"[{name:16s}] loops={res.n_loop_closures:3d} "
+              f"ate_sm={ate(res.poses_scan_matching, gt):.3f} "
+              f"ate_opt={ate(res.poses_optimized, gt):.3f} "
+              f"cross-lap consistency: sm "
+              f"{consistency(res.poses_scan_matching)*100:.1f} cm -> opt "
+              f"{consistency(res.poses_optimized)*100:.1f} cm")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--reverse":
+        return main_reverse()
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 360
     laps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     counts, gyro, ranges, gt = revisit_scene(n_steps, laps=laps)
