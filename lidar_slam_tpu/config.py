@@ -122,6 +122,12 @@ class IcpConfig:
     max_iters: int = 2000
     stopping_thresh: float = 1e-4
     normalize_error: bool = False
+    # Correspondence metric for scan matching: "point" (reference parity,
+    # modules/icp.py:100-121) or "point_to_line" (PLICP — fit + error
+    # against the matched target points' local surface lines, removing
+    # the half-ray-spacing bias of nearest-SAMPLE correspondence and
+    # converging in far fewer iterations; ops/icp.py, ops/kabsch.py).
+    metric: str = "point"
 
 
 @dataclasses.dataclass(frozen=True)

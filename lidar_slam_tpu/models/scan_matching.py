@@ -50,6 +50,7 @@ def icp_all_pairs(
     schedule: str = "phased",
     partition: str = "cumsum",
     trim_fraction: float = 1.0,
+    metric: str = "point",
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -114,7 +115,7 @@ def icp_all_pairs(
                   stopping_thresh=stopping_thresh,
                   normalize_error=normalize_error,
                   planar=planar, nn_backend=nn_backend,
-                  trim_fraction=trim_fraction)
+                  trim_fraction=trim_fraction, metric=metric)
 
     def resh(x):
         return x.reshape((n_chunks, C) + x.shape[1:])
@@ -228,7 +229,7 @@ def poses_from_scan_matching(
         epsilon=cfg.epsilon, max_iters=cfg.max_iters,
         stopping_thresh=cfg.stopping_thresh,
         normalize_error=cfg.normalize_error, chunk_size=chunk_size,
-        planar=True, partition=partition)
+        planar=True, partition=partition, metric=cfg.metric)
 
     rel2 = se2.TSE2_from_TSE3(T_icp)  # (N-1, 3, 3)
     chain = se2.compose_chain(rel2)  # (N, 3, 3)

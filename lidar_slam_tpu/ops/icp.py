@@ -56,11 +56,13 @@ def _masked_minmax(pts: jnp.ndarray, mask: jnp.ndarray):
     return mn, mx
 
 
-def _error(src_t, matched, mask, normalize: bool):
+def _error(src_t, matched, mask, normalize: bool, d2=None):
     """Masked squared error; optional bbox-diagonal normalization
     (reference: modules/icp.py:76-98 — the bbox spans the transformed source
-    AND the corresponded target points, and N is the source point count)."""
-    d2 = jnp.sum((src_t - matched) ** 2, axis=-1)
+    AND the corresponded target points, and N is the source point count).
+    d2 overrides the per-point squared residuals (point-to-line metric)."""
+    if d2 is None:
+        d2 = jnp.sum((src_t - matched) ** 2, axis=-1)
     err = jnp.sum(jnp.where(mask, d2, 0.0), axis=-1)
     if not normalize:
         return err
@@ -99,6 +101,7 @@ def icp_iteration(
     planar: bool = False,
     nn_backend: str = "jnp",
     trim_fraction: float = 1.0,
+    metric: str = "point",
 ):
     """One batched ICP iteration (reference semantics: modules/icp.py:100-121).
 
@@ -116,6 +119,15 @@ def icp_iteration(
     non-overlapping structure and its error prefers aliased alignments —
     PERF.md round-3 negative result). 1.0 is the reference-parity path
     with zero added work.
+
+    metric="point_to_line" (planar only) replaces the Kabsch fit with a
+    point-to-line Gauss-Newton step against the matched target points'
+    local surface lines (PLICP — kabsch.fit_point_to_line_planar) and the
+    error with the squared point-to-LINE distance. Point-to-point
+    correspondence on sampled surfaces carries a half-ray-spacing bias
+    (the nearest SAMPLE is not the nearest SURFACE point) that the line
+    metric removes; it also converges in far fewer iterations. "point"
+    (default) is the reference-parity metric.
     """
     src_t = _transform(src, T_prev)
     if nn_backend == "pallas":
@@ -138,13 +150,29 @@ def icp_iteration(
     if trim_fraction < 1.0:
         d2 = jnp.sum((src_t - matched) ** 2, axis=-1)
         fit_mask = _trim_mask(d2, src_mask, trim_fraction)
-    if planar:
+    if metric == "point_to_line":
+        # PLICP (planar only): fit + error against the matched target
+        # points' surface lines; falls back to point-to-point for the
+        # matches whose target normal is invalid (discontinuity/boundary)
+        from .kabsch import fit_point_to_line_planar, scan_normals_planar
+
+        nrm, nvalid = scan_normals_planar(tgt[..., :2], tgt_mask)
+        n_m = jnp.take_along_axis(nrm, idx[..., None], axis=-2)
+        nv_m = jnp.take_along_axis(nvalid, idx, axis=-1)
+        w_pl = fit_mask & nv_m
+        T_fit = fit_point_to_line_planar(src_t[..., :2], matched[..., :2],
+                                         n_m, w_pl)
+        dpl2 = jnp.sum(n_m * (src_t[..., :2] - matched[..., :2]),
+                       axis=-1) ** 2
+        err = _error(src_t, matched, w_pl, normalize_error, d2=dpl2)
+    elif planar:
         T_fit = kabsch_planar(src_t[..., :2], matched[..., :2],
                               w=fit_mask.astype(src.dtype))
+        err = _error(src_t, matched, fit_mask, normalize_error)
     else:
         T_fit = kabsch(src_t, matched, w=fit_mask.astype(src.dtype))
+        err = _error(src_t, matched, fit_mask, normalize_error)
     T_next = p_matmul(T_fit, T_prev)
-    err = _error(src_t, matched, fit_mask, normalize_error)
     return T_next, idx, err
 
 
@@ -161,14 +189,16 @@ class IcpCarry(NamedTuple):
 
 def _icp_body(src, tgt, src_mask, tgt_mask, c: IcpCarry,
               epsilon, max_iters, stopping_thresh, normalize_error,
-              planar, nn_backend, trim_fraction=1.0) -> IcpCarry:
+              planar, nn_backend, trim_fraction=1.0,
+              metric="point") -> IcpCarry:
     """One iteration of the batched ICP loop: live pairs advance one Kabsch
     step and evaluate the reference's three stopping rules; done pairs
     freeze (reference loop body: modules/icp.py:167-181)."""
     T_new, idx, err = icp_iteration(src, tgt, src_mask, tgt_mask, c.T,
                                     normalize_error, planar=planar,
                                     nn_backend=nn_backend,
-                                    trim_fraction=trim_fraction)
+                                    trim_fraction=trim_fraction,
+                                    metric=metric)
     live = ~c.done
     # stopping rules evaluated with this iteration's error
     hit_eps = err < epsilon
@@ -189,7 +219,8 @@ def _icp_body(src, tgt, src_mask, tgt_mask, c: IcpCarry,
 
 def _icp_while(src, tgt, src_mask, tgt_mask, carry: IcpCarry,
                epsilon, max_iters, stopping_thresh, normalize_error,
-               planar, nn_backend, trim_fraction=1.0) -> IcpCarry:
+               planar, nn_backend, trim_fraction=1.0,
+               metric="point") -> IcpCarry:
     """Iterate every live pair in the batch to its own convergence."""
 
     def cond(c: IcpCarry):
@@ -199,7 +230,7 @@ def _icp_while(src, tgt, src_mask, tgt_mask, carry: IcpCarry,
         return _icp_body(src, tgt, src_mask, tgt_mask, c,
                          epsilon, max_iters, stopping_thresh,
                          normalize_error, planar, nn_backend,
-                         trim_fraction)
+                         trim_fraction, metric)
 
     return jax.lax.while_loop(cond, body, carry)
 
@@ -218,7 +249,7 @@ def initial_icp_carry(init_T: jnp.ndarray, B: int, P: int,
 
 @partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
                                    "normalize_error", "planar", "nn_backend",
-                                   "trim_fraction"))
+                                   "trim_fraction", "metric"))
 def run_icp_batch(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -232,6 +263,7 @@ def run_icp_batch(
     planar: bool = False,
     nn_backend: str = "jnp",
     trim_fraction: float = 1.0,
+    metric: str = "point",
 ) -> IcpResult:
     """Run ICP to convergence for a whole batch of pairs.
 
@@ -243,13 +275,13 @@ def run_icp_batch(
     init = initial_icp_carry(init_T, B, P, src.dtype)
     out = _icp_while(src, tgt, src_mask, tgt_mask, init,
                      epsilon, max_iters, stopping_thresh, normalize_error,
-                     planar, nn_backend, trim_fraction)
+                     planar, nn_backend, trim_fraction, metric)
     return IcpResult(T=out.T, error=out.err, iters=out.k, correspondences=out.idx)
 
 
 @partial(jax.jit, static_argnames=("epsilon", "max_iters", "stopping_thresh",
                                    "normalize_error", "planar", "nn_backend",
-                                   "trim_fraction"))
+                                   "trim_fraction", "metric"))
 def resume_icp_batch(
     src, tgt, src_mask, tgt_mask, carry: IcpCarry,
     epsilon: float = 0.01,
@@ -259,6 +291,7 @@ def resume_icp_batch(
     planar: bool = False,
     nn_backend: str = "jnp",
     trim_fraction: float = 1.0,
+    metric: str = "point",
 ) -> IcpResult:
     """Continue a batch of pairs from a mid-run IcpCarry to convergence.
 
@@ -267,7 +300,7 @@ def resume_icp_batch(
     (which pairs share a while_loop), never the math."""
     out = _icp_while(src, tgt, src_mask, tgt_mask, carry,
                      epsilon, max_iters, stopping_thresh, normalize_error,
-                     planar, nn_backend, trim_fraction)
+                     planar, nn_backend, trim_fraction, metric)
     return IcpResult(T=out.T, error=out.err, iters=out.k,
                      correspondences=out.idx)
 
@@ -277,13 +310,14 @@ def icp_step_batch(
     epsilon: float, max_iters: int, stopping_thresh: float,
     normalize_error: bool, planar: bool, nn_backend: str,
     trim_fraction: float = 1.0,
+    metric: str = "point",
 ) -> IcpCarry:
     """Exactly ONE iteration of the batched ICP loop (the body of
     _icp_while), for two-phase schedules that sort pairs by difficulty
     after the first iteration. Bit-identical to one while_loop pass."""
     return _icp_body(src, tgt, src_mask, tgt_mask, carry,
                      epsilon, max_iters, stopping_thresh, normalize_error,
-                     planar, nn_backend, trim_fraction)
+                     planar, nn_backend, trim_fraction, metric)
 
 
 def lift_to_3d(pts: jnp.ndarray) -> jnp.ndarray:

@@ -85,7 +85,8 @@ def test_corrects_biased_odometry(world):
 def test_relocalizes_from_uncertain_start(world):
     """Pose uncertainty at start (particles spread +/-1 m, +/-0.5 rad via
     init_particles): the filter collapses onto the true pose within tens of
-    steps (measured ~0.11 m by step 10) and stays locked."""
+    steps (measured ~0.11 m by step 30 after the raycast-origin fix moved
+    the scene; was ~0.11 by step 10 on the old world) and stays locked."""
     cfg_map, gt, counts, gyro, points, masks, im = world
     rng = np.random.default_rng(0)
     P = 256
@@ -97,8 +98,8 @@ def test_relocalizes_from_uncertain_start(world):
         im, counts, gyro, points, masks, cfg_map,
         pf.PFConfig(n_particles=P), init_particles=jnp.asarray(init))
     err = _pos_err(poses, gt)
-    assert err[10] < 0.4    # locked on within 10 steps (measured ~0.11)
-    assert err[-50:].mean() < 0.3  # and stays locked (measured ~0.095)
+    assert err[30] < 0.4    # locked on within 30 steps (measured ~0.11)
+    assert err[-50:].mean() < 0.3  # and stays locked (measured ~0.090)
 
 
 def test_yaw_stays_unwrapped_past_pi(world):
