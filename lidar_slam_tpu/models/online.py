@@ -146,7 +146,8 @@ def online_step(
         state.prev_mask[None], seed3[None],
         epsilon=cfg.icp.epsilon, max_iters=cfg.icp.max_iters,
         stopping_thresh=cfg.icp.stopping_thresh,
-        normalize_error=cfg.icp.normalize_error, planar=True)
+        normalize_error=cfg.icp.normalize_error, planar=True,
+        metric=cfg.icp.metric)
     rel2 = se2.TSE2_from_TSE3(res.T[0])  # (3, 3)
     T_new = se2.p_matmul(se2.T_from_pose(state.pose), rel2)
     pose_new = se2.pose_from_T(T_new)

@@ -182,6 +182,7 @@ class IcpCarry(NamedTuple):
     T: jnp.ndarray  # (B, 4, 4)
     err: jnp.ndarray  # (B,)
     last_err: jnp.ndarray  # (B,)
+    last_err2: jnp.ndarray  # (B,) error two iterations back (cycle stop)
     idx: jnp.ndarray  # (B, P) int32
     k: jnp.ndarray  # (B,) int32
     done: jnp.ndarray  # (B,) bool
@@ -205,12 +206,22 @@ def _icp_body(src, tgt, src_mask, tgt_mask, c: IcpCarry,
     hit_iters = c.k >= max_iters
     first = jnp.isinf(c.last_err)
     hit_delta = (~first) & (jnp.abs(c.last_err - err) < stopping_thresh)
+    if metric == "point_to_line":
+        # correspondence limit cycles (the pose flip-flops between two
+        # states with |delta err| > stopping_thresh forever) are common
+        # with the long point-to-line step; also stop when the error
+        # matches the one TWO iterations back. Disabled for the "point"
+        # metric — its stopping semantics are reference parity.
+        first2 = jnp.isinf(c.last_err2)
+        hit_delta = hit_delta | (
+            (~first2) & (jnp.abs(c.last_err2 - err) < stopping_thresh))
     done_new = c.done | (live & (hit_eps | hit_iters | hit_delta))
     sel = live[:, None, None]
     return IcpCarry(
         T=jnp.where(sel, T_new, c.T),
         err=jnp.where(live, err, c.err),
         last_err=jnp.where(live, err, c.last_err),
+        last_err2=jnp.where(live, c.last_err, c.last_err2),
         idx=jnp.where(live[:, None], idx, c.idx),
         k=jnp.where(live, c.k + 1, c.k),
         done=done_new,
@@ -241,6 +252,7 @@ def initial_icp_carry(init_T: jnp.ndarray, B: int, P: int,
         T=init_T.astype(dtype),
         err=jnp.full((B,), _INF, dtype),
         last_err=jnp.full((B,), _INF, dtype),
+        last_err2=jnp.full((B,), _INF, dtype),
         idx=jnp.zeros((B, P), jnp.int32),
         k=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),

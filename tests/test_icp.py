@@ -362,3 +362,78 @@ def test_trim_fraction_one_is_parity():
     np.testing.assert_array_equal(np.asarray(a.T), np.asarray(b.T))
     np.testing.assert_array_equal(np.asarray(a.error), np.asarray(b.error))
     assert int(a.iters[0]) == int(b.iters[0])
+
+
+def _scanlike_cloud(rng, n=240):
+    """Ray-ordered points along two wall segments (line structure with a
+    corner), as a lidar scan would sample them."""
+    a = np.stack([np.linspace(-3, 1, n // 2), np.full(n // 2, 2.0),
+                  np.zeros(n // 2)], 1)
+    b = np.stack([np.full(n - n // 2, 1.0),
+                  np.linspace(2.0, -2.0, n - n // 2),
+                  np.zeros(n - n // 2)], 1)
+    return np.concatenate([a, b]) + rng.normal(0, 0.002, (n, 3)) * [1, 1, 0]
+
+
+def test_scan_normals_planar():
+    from lidar_slam_tpu.ops.kabsch import scan_normals_planar
+    rng = np.random.default_rng(20)
+    pts = _scanlike_cloud(rng)
+    m = jnp.ones(pts.shape[0], bool)
+    n, valid = scan_normals_planar(jnp.asarray(pts[:, :2]), m)
+    n, valid = np.asarray(n), np.asarray(valid)
+    # endpoints invalid (no two-sided neighbor); corner region may drop
+    assert not valid[0] and not valid[-1]
+    assert valid.sum() > 0.9 * pts.shape[0]
+    # on the horizontal wall the normal is +/- y
+    wall = valid[: pts.shape[0] // 2 - 2]
+    ny = np.abs(n[: pts.shape[0] // 2 - 2, 1][wall])
+    assert (ny > 0.99).all()
+
+
+def test_plicp_recovers_transform_exactly():
+    """On line-structured clouds, point-to-point ICP is biased by the
+    sampling (nearest SAMPLE != nearest surface point) while PLICP
+    recovers the true transform to sub-mm."""
+    rng = np.random.default_rng(21)
+    src = _scanlike_cloud(rng)
+    # resample the same walls on a DIFFERENT grid (odd count, so the
+    # sample positions interleave — like two scans from different poses):
+    # nearest-SAMPLE correspondence is then systematically biased while
+    # nearest-LINE is not
+    tgt0 = _scanlike_cloud(np.random.default_rng(22), n=173)
+    R, t = _rot(0.06), np.array([0.10, -0.06, 0.0])
+    tgt = tgt0 @ R.T + t
+    ms = jnp.ones((1, src.shape[0]), bool)
+    mt = jnp.ones((1, tgt.shape[0]), bool)
+    out = {}
+    for metric in ("point", "point_to_line"):
+        res = icp_ops.run_icp_batch(
+            jnp.asarray(src)[None], jnp.asarray(tgt)[None], ms, mt,
+            jnp.eye(4)[None], epsilon=1e-12, stopping_thresh=1e-10,
+            planar=True, metric=metric)
+        T = np.asarray(res.T[0])
+        out[metric] = np.linalg.norm(T[:2, 3] - t[:2])
+    assert out["point_to_line"] < 2e-3, out
+    assert out["point_to_line"] < out["point"] / 3, out
+
+
+def test_plicp_cycle_stop_bounded_iterations():
+    """The 2-cycle stopping rule bounds PLICP iteration counts (limit
+    cycles oscillate with |delta err| > stopping_thresh forever)."""
+    from lidar_slam_tpu.config import IcpConfig, LidarConfig
+    from lidar_slam_tpu.models import odometry, scan_matching
+    from lidar_slam_tpu.ops import scan as scan_ops
+    from lidar_slam_tpu.utils import io
+
+    d = io.synthetic_dataset(n_steps=40, n_rays=271, seed=3)
+    points, masks = scan_ops.scans_to_points(
+        jnp.asarray(d["lidar"]["ranges"]), 0.1, 30.0,
+        LidarConfig(n_rays=271))
+    poses_odom = odometry.poses_from_odometry(
+        jnp.asarray(d["encoder"]["counts"], jnp.float32),
+        jnp.asarray(d["imu"]["angular_velocity"], jnp.float32))
+    sm = scan_matching.poses_from_scan_matching(
+        poses_odom, points, masks,
+        IcpConfig(epsilon=0.001, metric="point_to_line"), chunk_size=8)
+    assert int(np.asarray(sm.iters).max()) < 50
