@@ -184,15 +184,20 @@ def _base_cells(pts: jnp.ndarray, mask: jnp.ndarray, center: jnp.ndarray,
 
 def relocalize(im: jnp.ndarray, map_cfg: MapConfig, pts: jnp.ndarray,
                mask: jnp.ndarray, cfg: RelocConfig = RelocConfig(),
-               center: Tuple[float, float] = (0.0, 0.0)) -> RelocResult:
+               center: Tuple[float, float] = (0.0, 0.0),
+               score_fn=None) -> RelocResult:
     """Find the scan's pose in the map by certified coarse-to-fine search.
 
     im (W, H) non-negative scoring map (hit_map(logodds)); pts (R, 2)
     robot-frame scan points; mask (R,) validity; center: search window
     center in world meters. The level loop is a short static Python loop
     (shapes per level are fixed by cfg), so the whole search compiles to
-    ~3 programs regardless of map or window size.
+    ~3 programs regardless of map or window size. score_fn overrides the
+    node scorer (same signature as _score_nodes — pass
+    parallel.sharding.sharded_reloc_score(mesh) to shard the node axis
+    over a device mesh, bit-identically).
     """
+    score_nodes = _score_nodes if score_fn is None else score_fn
     angles = (cfg.yaw_center - cfg.yaw_span / 2.0
               + cfg.yaw_span * np.arange(cfg.n_angles) / cfg.n_angles)
     ctr = jnp.asarray(center, jnp.float32)
@@ -213,8 +218,8 @@ def relocalize(im: jnp.ndarray, map_cfg: MapConfig, pts: jnp.ndarray,
 
     pruned = []
     for k in range(kmax, -1, -1):
-        scores = _score_nodes(pyramid[k], base_i, base_j, rmask, ai, oi, oj,
-                              live, leaf=(k == 0), chunk=cfg.score_chunk)
+        scores = score_nodes(pyramid[k], base_i, base_j, rmask, ai, oi, oj,
+                             live, leaf=(k == 0), chunk=cfg.score_chunk)
         if k == 0:
             break
         scores, ai, oi, oj, pmax = _keep_top(scores, ai, oi, oj, cfg.beam)

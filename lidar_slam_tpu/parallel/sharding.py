@@ -251,6 +251,52 @@ def sharded_texture_paint(mesh: Mesh, map_cfg: MapConfig, cam_cfg,
     return paint
 
 
+def sharded_reloc_score(mesh: Mesh, axis: str = "dp"):
+    """Return a node-sharded scoring kernel for global relocalization
+    (signature of relocalization._score_nodes: (pool, base_i, base_j,
+    rmask, ai, oi, oj, live, leaf=, chunk=) -> (n,) scores).
+
+    Relocalization's cost is the node scoring — every candidate (yaw,
+    translation-block) is independent (models/relocalization.py), so each
+    device scores its n/D node block against the replicated pyramid level
+    and scan cells, and the gathered (n,) vector feeds the replicated
+    top-k beam. Per-node row sums are computed identically to the
+    single-device kernel, so the whole search (pose, score, certificate)
+    is BIT-IDENTICAL — pinned by tests/test_parallel.py on the 8-device
+    CPU mesh. Nodes are padded (live=False) to a multiple of the axis
+    size here; pass the result as `score_fn` to relocalization.relocalize.
+    """
+    from ..models.relocalization import _score_nodes
+
+    D = int(mesh.shape[axis])
+    rep = NamedSharding(mesh, P())
+
+    def score(pool, base_i, base_j, rmask, ai, oi, oj, live, leaf, chunk):
+        n = ai.shape[0]
+        pad = (-n) % D
+        ai_p = jnp.pad(ai, (0, pad))
+        oi_p = jnp.pad(oi, (0, pad))
+        oj_p = jnp.pad(oj, (0, pad))
+        live_p = jnp.pad(live, (0, pad))
+        shard_chunk = min(chunk, max(1, (n + pad) // D))
+
+        def shard_fn(pool_r, bi_r, bj_r, rm_r, ai_l, oi_l, oj_l, live_l):
+            return _score_nodes(pool_r, bi_r, bj_r, rm_r,
+                                ai_l, oi_l, oj_l, live_l,
+                                leaf=leaf, chunk=shard_chunk)
+
+        out = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )(pool, base_i, base_j, rmask, ai_p, oi_p, oj_p, live_p)
+        # replicate: the top-k beam runs the same full-(n,) program on
+        # every device, exactly as single-chip
+        return jax.lax.with_sharding_constraint(out, rep)[:n]
+
+    return score
+
+
 def sharded_pf_score(mesh: Mesh, map_cfg: MapConfig, axis: str = "dp"):
     """Return a particle-sharded scoring kernel for the particle-filter
     models (signature of particle_filter._score_particles minus map_cfg:

@@ -422,3 +422,28 @@ def test_sharded_pf_score_in_pf_slam():
     np.testing.assert_allclose(np.asarray(got_poses),
                                np.asarray(ref_poses), atol=1e-5)
     assert float(np.mean(np.asarray(got_map) != np.asarray(ref_map))) < 1e-3
+
+
+def test_sharded_reloc_score_bitwise_search_equality():
+    """Node-sharded relocalization scoring: the full certified search
+    (pose, score, certificate, margin) is bit-identical to single-device."""
+    from lidar_slam_tpu.models import relocalization as rl
+
+    rng = np.random.default_rng(5)
+    mcfg = MapConfig(world_max_x=3.2, world_min_x=-3.2,
+                     world_max_y=3.2, world_min_y=-3.2, resolution=0.05)
+    im = jnp.asarray((rng.random((mcfg.width, mcfg.height)) > 0.85)
+                     .astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-3, 3, (181, 2)).astype(np.float32))
+    mask = jnp.asarray(rng.random(181) > 0.1)
+    cfg = rl.RelocConfig(n_angles=8, search_radius=0.8, n_levels=3,
+                         beam=64, max_rays=64, score_chunk=512)
+
+    base = rl.relocalize(im, mcfg, pts, mask, cfg)
+    m = mesh_lib.make_mesh(8)
+    sharded = rl.relocalize(im, mcfg, pts, mask, cfg,
+                            score_fn=sharding.sharded_reloc_score(m))
+    assert np.array_equal(np.asarray(base.pose), np.asarray(sharded.pose))
+    assert float(base.score) == float(sharded.score)
+    assert bool(base.certified) == bool(sharded.certified)
+    assert float(base.pruned_margin) == float(sharded.pruned_margin)
