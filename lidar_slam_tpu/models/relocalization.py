@@ -72,6 +72,11 @@ class RelocConfig:
     beam: int = 1024
     max_rays: int = 256
     score_chunk: int = 16384  # nodes scored per lax.map step (memory bound)
+    # ICP-polish target window: occupied cells within (max masked scan
+    # range + icp_margin) of the grid candidate. Scales with the scan
+    # instead of the search window, so dataset-scale maps don't dilute
+    # the fixed-size target subsample with far-away cells.
+    icp_margin: float = 5.0
 
 
 class RelocResult(NamedTuple):
@@ -93,11 +98,14 @@ def build_max_pyramid(im: jnp.ndarray, n_levels: int) -> List[jnp.ndarray]:
     max over the 2^k x 2^k window anchored low at each cell.
 
     pool[k][i, j] = max(im[i:i+2^k, j:j+2^k]) with out-of-range cells
-    treated as 0 (im must be non-negative — asserted by the hit-map
-    convention). Built in k doubling passes of three shifted maxima, so
+    treated as 0. im must be non-negative for the zero padding to be an
+    upper bound, so it is clamped here — passing raw log-odds instead of
+    hit_map(logodds) degrades scores but can no longer invalidate the
+    certificate. Built in k doubling passes of three shifted maxima, so
     the whole pyramid costs O(n_levels) cheap elementwise passes instead
     of one O(window^2) pool per level.
     """
+    im = jnp.maximum(im, 0.0)
     levels = [im]
     m = im
     for k in range(n_levels - 1):
@@ -285,19 +293,28 @@ def relocalize_refined(
     mask: jnp.ndarray, cfg: RelocConfig = RelocConfig(),
     center: Tuple[float, float] = (0.0, 0.0),
     icp_max_iters: int = 100, icp_max_pts: int = 4096,
+    score_fn=None,
 ) -> Tuple[RelocResult, jnp.ndarray, jnp.ndarray]:
     """Grid search + ICP polish: returns (grid result, refined pose, icp err).
 
     The grid result is cell/angle-quantized; the polish runs planar ICP
     (ops/icp.py — T aligns src to tgt) from it against the occupied-cell
     centers near the candidate, recovering the sub-cell remainder.
+    score_fn is forwarded to relocalize(), so the sharded multi-chip
+    scorer (parallel.sharding.sharded_reloc_score) works through the
+    polished entry point too.
     """
-    grid_res = relocalize(hit_map(logodds), map_cfg, pts, mask, cfg, center)
+    grid_res = relocalize(hit_map(logodds), map_cfg, pts, mask, cfg, center,
+                          score_fn=score_fn)
     pose0 = grid_res.pose
+    # target window scales with the scan: every map cell the scan could
+    # plausibly touch from the candidate pose, plus a drift margin
+    scan_reach = float(jnp.max(jnp.where(
+        mask, jnp.linalg.norm(pts, axis=-1), 0.0)))
     tgt, tgt_m = occupied_points(
         np.asarray(logodds), map_cfg, max_pts=icp_max_pts,
         center=(float(pose0[0]), float(pose0[1])),
-        radius=2.0 * cfg.search_radius + 40.0)
+        radius=scan_reach + cfg.icp_margin)
     src_w = se2.transform_points(pts[None], se2.T_from_pose(pose0[None]))[0]
     res = icp_ops.run_icp(src_w, jnp.asarray(tgt), max_iters=icp_max_iters,
                           pc1_mask=mask, pc2_mask=jnp.asarray(tgt_m),
