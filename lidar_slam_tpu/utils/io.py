@@ -103,6 +103,9 @@ def synthetic_dataset(
     seed: int = 0,
     range_min: float = 0.1,
     range_max: float = 30.0,
+    speed: float = 0.30,
+    speed_amp: float = 0.12,
+    yaw_amp: float = 0.25,
 ) -> Dict:
     """Generate a dataset-20-shaped synthetic dataset.
 
@@ -119,8 +122,8 @@ def synthetic_dataset(
 
     # Smooth velocity/yaw-rate profile -> ground-truth trajectory.
     t = np.arange(n_steps) * dt
-    v = 0.30 + 0.12 * np.sin(2 * np.pi * t / 40.0)
-    w = 0.25 * np.sin(2 * np.pi * t / 25.0) + 0.06 * np.sin(2 * np.pi * t / 7.0)
+    v = speed + speed_amp * np.sin(2 * np.pi * t / 40.0)
+    w = yaw_amp * np.sin(2 * np.pi * t / 25.0) + 0.06 * np.sin(2 * np.pi * t / 7.0)
     theta = np.cumsum(w * dt)
     x = np.cumsum(v * dt * np.cos(theta))
     y = np.cumsum(v * dt * np.sin(theta))
@@ -166,6 +169,33 @@ def synthetic_dataset(
         "rgbd": {"disp_stamps": disp_stamps, "rgb_stamps": rgb_stamps},
         "ground_truth": gt_poses,
     }
+
+
+def synthetic_dataset_21(
+    n_steps: int = 4905,
+    n_rays: int = 1081,
+    n_rgb: int = 160,
+    seed: int = 21,
+    range_min: float = 0.1,
+    range_max: float = 60.0,
+) -> Dict:
+    """Dataset-21-shaped synthetic dataset: same npz schema, deliberately
+    DIFFERENT shapes and extents from dataset 20.
+
+    The real datasets are unshipped (reference: .gitignore:7-8) and the
+    reference merely validates dataset in {20, 21}
+    (reference: modules/utils.py:48-53), so "21 geometry" here means a
+    valid log that shares nothing with the 20-shaped generator: a
+    different step count, a faster/wider trajectory (larger room, longer
+    wall hits), and a doubled range_max — so the adaptive per-ray cell
+    budget K (models/online.default_ray_cells, models/slam.adaptive
+    slots) and the CLI grid sizing must actually adapt rather than
+    coast on dataset-20 constants.
+    """
+    return synthetic_dataset(
+        n_steps=n_steps, n_rays=n_rays, n_rgb=n_rgb, seed=seed,
+        range_min=range_min, range_max=range_max,
+        speed=0.85, speed_amp=0.25, yaw_amp=0.12)
 
 
 def synthetic_revisit_dataset(

@@ -156,8 +156,15 @@ def main(argv=None):
               f"{args.synthetic_laps} lap(s))")
         args.synthetic = args.synthetic_revisit  # downstream gating
     elif args.synthetic:
-        data = io.synthetic_dataset(n_steps=args.synthetic)
-        print(f"(synthetic dataset, {args.synthetic} steps)")
+        # --dataset routes the synthetic generator too: 21 gets the
+        # 21-shaped geometry (different extents/range_max), so the
+        # advertised {20,21} surface is exercisable without raw data
+        if dataset_num == 21:
+            data = io.synthetic_dataset_21(n_steps=args.synthetic)
+        else:
+            data = io.synthetic_dataset(n_steps=args.synthetic)
+        print(f"(synthetic dataset, {args.synthetic} steps, "
+              f"{dataset_num}-shaped)")
     else:
         data = io.load_data(dataset_num, io.DATASET_NAMES, args.dataset_path)
     encoder = sensors.Encoder.from_data(data["encoder"])

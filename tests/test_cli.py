@@ -49,6 +49,70 @@ def test_cli_gtsam_filtered_synthetic(tmp_path):
     assert "loop closures" in r.stdout
 
 
+@pytest.mark.slow
+def test_cli_gtsam_dataset_21(tmp_path):
+    """Full gtsam e2e at --dataset 21 on a fabricated on-disk 21-shaped
+    dataset (different step count, wider trajectory, range_max=60):
+    loader validation, K-slot adaptation, grid sizing, and the _21 output
+    naming all hold (round-3 review: every test/bench used 20 shapes)."""
+    from test_driver_oracle import _write_dataset
+
+    data_dir = str(tmp_path / "data")
+    n_rgb = 3
+    _write_dataset(data_dir, n_steps=36, n_rays=241, dataset_num=21,
+                   n_rgb=n_rgb)
+    # the on-disk dataRGBD tree the texture stage reads
+    # (reference: texture_mapping.py:54-62 layout; 21-suffixed here)
+    from lidar_slam_tpu.utils.png import write_png
+    rng = np.random.default_rng(5)
+    os.makedirs(tmp_path / "dataRGBD" / "Disparity21", exist_ok=True)
+    os.makedirs(tmp_path / "dataRGBD" / "RGB21", exist_ok=True)
+    for k in range(int(n_rgb * 1.2) + 1):
+        disp = rng.integers(400, 900, (480, 640)).astype(np.uint16)
+        write_png(str(tmp_path / "dataRGBD" / "Disparity21"
+                      / f"disparity21_{k}.png"), disp)
+    for i in range(1, n_rgb + 1):
+        rgb = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+        write_png(str(tmp_path / "dataRGBD" / "RGB21"
+                      / f"rgb21_{i}.png"), rgb)
+    r = _run(["--mode", "gtsam", "--dataset", "21",
+              "--dataset_path", data_dir, "--res", "0.2",
+              "--width", "40", "--height", "40", "--generate_texture_map",
+              "--output_dir", str(tmp_path / "outputs")], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    for name in ["poses_odom_21", "poses_scan_matching_21",
+                 "poses_optimized_21", "relative_poses_odom_21",
+                 "relative_poses_scan_matching_21"]:
+        assert (tmp_path / "outputs" / f"{name}.npy").exists(), name
+    poses = np.load(tmp_path / "outputs" / "poses_optimized_21.npy")
+    assert poses.shape == (36, 3)
+    assert (tmp_path / "images" / "logodds_map_gtsam_21.png").exists()
+    assert (tmp_path / "images" / "texture_map_gtsam_21.png").exists()
+
+
+@pytest.mark.slow
+def test_cli_synthetic_dataset_21_routing(tmp_path):
+    """--synthetic with --dataset 21 routes through the 21-shaped
+    generator and labels artifacts _21."""
+    r = _run(["--mode", "odom", "--synthetic", "30", "--dataset", "21",
+              "--res", "0.2", "--width", "40", "--height", "40",
+              "--output_dir", str(tmp_path / "outputs")], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "21-shaped" in r.stdout
+    poses = np.load(tmp_path / "outputs" / "poses_odom_21.npy")
+    assert poses.shape == (30, 3)
+
+
+def test_cli_invalid_dataset_number(tmp_path):
+    """The reference validates dataset in {20,21}
+    (reference: modules/utils.py:48-53); the rebuilt loader must too."""
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    r = _run(["--dataset", "22", "--dataset_path",
+              str(tmp_path / "data")], cwd=str(tmp_path))
+    assert r.returncode != 0
+    assert "Must be 20 or 21" in (r.stderr + r.stdout)
+
+
 def test_cli_missing_dataset_errors(tmp_path):
     r = _run(["--dataset_path", "/nonexistent/"], cwd=str(tmp_path))
     assert r.returncode != 0

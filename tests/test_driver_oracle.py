@@ -22,22 +22,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 
 
-def _write_dataset(data_dir, n_steps=40, n_rays=181, seed=7):
+def _write_dataset(data_dir, n_steps=40, n_rays=181, seed=7,
+                   dataset_num=20, n_rgb=None):
     """n_rays=181 exercises the data-derived angle grid; the filtered
     variant needs full 1081-ray density (DBSCAN eps=0.1 empties sparser
     scans and the reference then NaNs — see CLAUDE.md)."""
-    """Fabricate dataset 20 in the reference's on-disk npz schema
+    """Fabricate a dataset in the reference's on-disk npz schema
     (reference loader: modules/utils.py:36-102 — arrays stored
-    sensor-major, transposed to time-major on load)."""
+    sensor-major, transposed to time-major on load). dataset_num=21
+    uses the 21-shaped generator (different extents, range_max=60)."""
     sys.path.insert(0, REPO)
     from lidar_slam_tpu.utils import io
 
-    d = io.synthetic_dataset(n_steps=n_steps, n_rays=n_rays, seed=seed)
+    kw = {} if n_rgb is None else {"n_rgb": n_rgb}
+    if dataset_num == 21:
+        d = io.synthetic_dataset_21(n_steps=n_steps, n_rays=n_rays,
+                                    seed=seed, **kw)
+    else:
+        d = io.synthetic_dataset(n_steps=n_steps, n_rays=n_rays, seed=seed,
+                                 **kw)
     os.makedirs(data_dir, exist_ok=True)
-    np.savez(os.path.join(data_dir, "Encoders20.npz"),
+    np.savez(os.path.join(data_dir, f"Encoders{dataset_num}.npz"),
              counts=d["encoder"]["counts"].T,
              time_stamps=d["encoder"]["stamps"])
-    np.savez(os.path.join(data_dir, "Hokuyo20.npz"),
+    np.savez(os.path.join(data_dir, f"Hokuyo{dataset_num}.npz"),
              angle_min=np.asarray(d["lidar"]["angle_min"]),
              angle_max=np.asarray(d["lidar"]["angle_max"]),
              angle_increment=np.asarray([[d["lidar"]["angle_increment"]]]),
@@ -45,11 +53,11 @@ def _write_dataset(data_dir, n_steps=40, n_rays=181, seed=7):
              range_max=np.asarray(d["lidar"]["range_max"]),
              ranges=d["lidar"]["ranges"].T,
              time_stamps=d["lidar"]["stamps"])
-    np.savez(os.path.join(data_dir, "Imu20.npz"),
+    np.savez(os.path.join(data_dir, f"Imu{dataset_num}.npz"),
              angular_velocity=d["imu"]["angular_velocity"].T,
              linear_acceleration=d["imu"]["linear_acceleration"].T,
              time_stamps=d["imu"]["stamps"])
-    np.savez(os.path.join(data_dir, "Kinect20.npz"),
+    np.savez(os.path.join(data_dir, f"Kinect{dataset_num}.npz"),
              disparity_time_stamps=d["rgbd"]["disp_stamps"],
              rgb_time_stamps=d["rgbd"]["rgb_stamps"])
 
