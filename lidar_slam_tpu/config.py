@@ -237,6 +237,37 @@ class PoseGraphConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class OnlineConfig:
+    """Streaming-mode tracking-loss detection + relocalization recovery
+    (new surface — the reference is batch-only; this finishes the
+    kidnapped-robot story the starter's mapCorrelation gestures at,
+    reference: code/pr2_utils.py:12-43).
+
+    The loss signal is the final RMS point-to-correspondence distance of
+    the per-step scan match, in METERS — metric- and normalization-
+    agnostic (recomputed from the final transform, not the solver's
+    objective). Healthy consecutive scans converge to mm-cm RMS; a
+    kidnapped robot's scan mismatches at room scale. While RMS exceeds
+    loss_rms_thresh the step COASTS on odometry (a garbage ICP result is
+    neither composed into the pose nor rasterized into the map); the
+    driver then calls models/online.relocalize_and_reseed.
+
+    The default threshold is inf: detection off, bit-identical to the
+    pre-detection streaming behavior.
+    """
+
+    loss_rms_thresh: float = float("inf")
+    # relocalization search budget (models/relocalization.RelocConfig)
+    reloc_beam: int = 4096
+    reloc_n_angles: int = 360
+    reloc_max_rays: int = 256
+    # pose hypotheses polished by batched ICP, lowest normalized error
+    # wins (correlative hit counts alias in self-similar rooms; the
+    # geometric fit disambiguates — models/relocalization.relocalize_refined)
+    reloc_candidates: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
 class FilterConfig:
     """Scan-filtering settings (reference: main.py:86-87, modules/localization.py:201-250)."""
 
@@ -258,3 +289,4 @@ class SlamConfig:
     # any-topology "direct" default
     pose_graph: PoseGraphConfig = PoseGraphConfig(solver="banded")
     filter: FilterConfig = FilterConfig()
+    online: OnlineConfig = OnlineConfig()

@@ -38,6 +38,7 @@ silently forgotten.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -63,6 +64,9 @@ class OnlineState(NamedTuple):
     # steps are always retained (sliding window)
     poses_hist: jnp.ndarray  # (N_max, 3) refined poses
     rel_hist: jnp.ndarray    # (N_max, 3, 3) refined relative SE(2)
+    # () f32 — tracking-health signal: final RMS point-to-correspondence
+    # distance (meters) of this step's scan match (config.OnlineConfig)
+    match_rms: jnp.ndarray
 
 
 def default_ray_cells(cfg: SlamConfig, range_max: float = 30.0) -> int:
@@ -102,6 +106,7 @@ def init_state(first_points: jnp.ndarray, first_mask: jnp.ndarray,
         step=jnp.asarray(0, jnp.int32),
         poses_hist=poses_hist,
         rel_hist=jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_max, 1, 1)),
+        match_rms=jnp.asarray(0.0, jnp.float32),
     )
 
 
@@ -149,6 +154,27 @@ def online_step(
         normalize_error=cfg.icp.normalize_error, planar=True,
         metric=cfg.icp.metric)
     rel2 = se2.TSE2_from_TSE3(res.T[0])  # (3, 3)
+
+    # tracking-health signal: RMS point-to-correspondence distance (m)
+    # under the FINAL transform — recomputed here so it is in meters
+    # regardless of the solver's error metric/normalization config
+    idx_c = res.correspondences[0]
+    src_t2 = se2.transform_points(pts3[:, :2], rel2)
+    matched2 = state.prev_points[idx_c, :2]
+    valid_c = mask & state.prev_mask[idx_c]
+    d2 = jnp.sum((src_t2 - matched2) ** 2, axis=-1)
+    rms = jnp.sqrt(jnp.sum(jnp.where(valid_c, d2, 0.0))
+                   / jnp.maximum(jnp.sum(valid_c), 1)).astype(jnp.float32)
+
+    # tracking-loss gate (config.OnlineConfig): while the match RMS is
+    # above threshold, COAST on the odometry increment — a garbage ICP
+    # result must neither steer the pose nor paint the map. The default
+    # threshold is inf, in which case the gate is compiled out entirely
+    # (bit-identical to the ungated step).
+    detect = math.isfinite(cfg.online.loss_rms_thresh)
+    if detect:
+        lost = rms > cfg.online.loss_rms_thresh
+        rel2 = jnp.where(lost, seed2, rel2)
     T_new = se2.p_matmul(se2.T_from_pose(state.pose), rel2)
     pose_new = se2.pose_from_T(T_new)
 
@@ -156,9 +182,15 @@ def online_step(
     # backend-dispatched single-scan build: the Pallas ray-walk kernel on
     # TPU (~0.4 ms vs ~3.3 ms compacted scatter), scatter elsewhere
     if update_map:
-        logodds = occupancy.build_logodds(
-            pose_new[None], pts3[None, :, :2], mask[None], cfg.map, K,
-            init=state.logodds)
+        def _paint(lo):
+            return occupancy.build_logodds(
+                pose_new[None], pts3[None, :, :2], mask[None], cfg.map, K,
+                init=lo)
+        if detect:
+            logodds = jax.lax.cond(lost, lambda lo: lo, _paint,
+                                   state.logodds)
+        else:
+            logodds = _paint(state.logodds)
     else:
         logodds = state.logodds
 
@@ -177,7 +209,70 @@ def online_step(
         step=step_new,
         poses_hist=state.poses_hist.at[idx].set(pose_new),
         rel_hist=state.rel_hist.at[idx].set(rel2),
+        match_rms=rms,
     )
+
+
+def relocalize_and_reseed(state: OnlineState, cfg: SlamConfig,
+                          K: int | None = None,
+                          reloc_cfg=None, paint: bool = True):
+    """Kidnapped-robot recovery for the streaming mode (host-side; a rare
+    event, not a per-step path).
+
+    Runs the certified global search + ICP polish
+    (models/relocalization.relocalize_refined) for the CURRENT scan
+    against the CAUSAL map, then re-seeds the stream at the recovered
+    pose: the current history slot gets the recovered pose, and the slot's
+    between-factor becomes the estimated jump (the kidnap was real motion
+    the odometry never measured, so encoding it keeps refine()'s window
+    chain consistent across the discontinuity). The held-out scan — the
+    loss gate skipped its rasterization — is painted at the recovered
+    pose when `paint`. odom_pose needs no rebase: it is only ever read
+    through consecutive RELATIVE increments, which a teleport does not
+    corrupt.
+
+    Returns (new_state, RelocResult, icp_error).
+    """
+    from .relocalization import RelocConfig, relocalize_refined
+
+    if K is None:
+        K = default_ray_cells(cfg)
+    m = cfg.map
+    if reloc_cfg is None:
+        # search the whole mapped area: centered on the map, radius
+        # covering the diagonal of the half-extent
+        reloc_cfg = RelocConfig(
+            search_radius=0.5 * math.hypot(m.world_max_x - m.world_min_x,
+                                           m.world_max_y - m.world_min_y),
+            beam=cfg.online.reloc_beam,
+            n_angles=cfg.online.reloc_n_angles,
+            max_rays=cfg.online.reloc_max_rays)
+    center = (0.5 * (m.world_min_x + m.world_max_x),
+              0.5 * (m.world_min_y + m.world_max_y))
+    grid_res, refined, icp_err = relocalize_refined(
+        state.logodds, m, state.prev_points[:, :2], state.prev_mask,
+        reloc_cfg, center=center,
+        n_candidates=cfg.online.reloc_candidates)
+    refined = jnp.asarray(refined, jnp.float32)
+
+    n_max = state.poses_hist.shape[0]
+    step = int(state.step)
+    idx = step % n_max
+    prev_pose = state.poses_hist[(step - 1) % n_max]
+    jump = se2.get_relative_pose(prev_pose, refined).astype(jnp.float32)
+    logodds = state.logodds
+    if paint:
+        logodds = occupancy.build_logodds(
+            refined[None], state.prev_points[None, :, :2],
+            state.prev_mask[None], m, K, init=logodds)
+    new_state = state._replace(
+        pose=refined,
+        logodds=logodds,
+        poses_hist=state.poses_hist.at[idx].set(refined),
+        rel_hist=state.rel_hist.at[idx].set(jump),
+        match_rms=jnp.asarray(0.0, jnp.float32),
+    )
+    return new_state, grid_res, icp_err
 
 
 def window_start(state: OnlineState) -> int:
@@ -338,7 +433,11 @@ def save_state(path: str, state: OnlineState) -> None:
 
 
 def load_state(path: str) -> OnlineState:
-    """Restore a checkpoint written by save_state."""
+    """Restore a checkpoint written by save_state. Fields a newer schema
+    added after the checkpoint was written default sensibly (match_rms=0),
+    so pre-existing checkpoints keep resuming."""
+    defaults = {"match_rms": jnp.asarray(0.0, jnp.float32)}
     with np.load(path) as d:
-        return OnlineState(**{k: jnp.asarray(d[k])
-                              for k in OnlineState._fields})
+        return OnlineState(**{
+            k: (jnp.asarray(d[k]) if k in d.files else defaults[k])
+            for k in OnlineState._fields})

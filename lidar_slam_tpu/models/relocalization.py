@@ -193,7 +193,7 @@ def _base_cells(pts: jnp.ndarray, mask: jnp.ndarray, center: jnp.ndarray,
 def relocalize(im: jnp.ndarray, map_cfg: MapConfig, pts: jnp.ndarray,
                mask: jnp.ndarray, cfg: RelocConfig = RelocConfig(),
                center: Tuple[float, float] = (0.0, 0.0),
-               score_fn=None) -> RelocResult:
+               score_fn=None, return_leaves: bool = False) -> RelocResult:
     """Find the scan's pose in the map by certified coarse-to-fine search.
 
     im (W, H) non-negative scoring map (hit_map(logodds)); pts (R, 2)
@@ -252,9 +252,52 @@ def relocalize(im: jnp.ndarray, map_cfg: MapConfig, pts: jnp.ndarray,
                       jnp.asarray(angles, jnp.float32)[ai[best]]])
     pruned_max = (jnp.stack(pruned).max() if pruned
                   else jnp.float32(-jnp.inf))
-    return RelocResult(pose=pose, score=s_star,
-                       certified=pruned_max <= s_star,
-                       pruned_margin=s_star - pruned_max)
+    result = RelocResult(pose=pose, score=s_star,
+                         certified=pruned_max <= s_star,
+                         pruned_margin=s_star - pruned_max)
+    if not return_leaves:
+        return result
+    return result, (scores, ai, oi, oj)
+
+
+def top_candidates(leaves, angles: np.ndarray, center, map_cfg: MapConfig,
+                   n_best: int, nms_radius: float = 1.0,
+                   nms_yaw: float = 0.35) -> Tuple[np.ndarray, np.ndarray]:
+    """Distinct pose hypotheses from the leaf-level node list: greedy
+    score-ranked non-max suppression over (translation, yaw) — two nodes
+    are duplicates when both their distance is under `nms_radius` meters
+    AND their yaw gap is under `nms_yaw` rad (same place at a different
+    heading is a distinct hypothesis; the polish disambiguates).
+
+    Host-side (relocalization is a rare event). Returns
+    (poses (k, 3), scores (k,)) with k <= n_best.
+    """
+    scores, ai, oi, oj = (np.asarray(x) for x in leaves)
+    res = map_cfg.resolution
+    order = np.argsort(-scores)
+    order = order[np.isfinite(scores[order])]
+    kept: list[int] = []
+    yaws = np.asarray(angles)
+    for idx in order:
+        x = center[0] + oi[idx] * res
+        y = center[1] + oj[idx] * res
+        th = yaws[ai[idx]]
+        dup = False
+        for j in kept:
+            dx = x - (center[0] + oi[j] * res)
+            dy = y - (center[1] + oj[j] * res)
+            dth = abs((th - yaws[ai[j]] + np.pi) % (2 * np.pi) - np.pi)
+            if dx * dx + dy * dy < nms_radius ** 2 and dth < nms_yaw:
+                dup = True
+                break
+        if not dup:
+            kept.append(int(idx))
+            if len(kept) >= n_best:
+                break
+    poses = np.stack([
+        np.asarray([center[0] + oi[j] * res, center[1] + oj[j] * res,
+                    yaws[ai[j]]], np.float32) for j in kept])
+    return poses, scores[kept]
 
 
 def occupied_points(logodds: np.ndarray, map_cfg: MapConfig,
@@ -293,7 +336,7 @@ def relocalize_refined(
     mask: jnp.ndarray, cfg: RelocConfig = RelocConfig(),
     center: Tuple[float, float] = (0.0, 0.0),
     icp_max_iters: int = 100, icp_max_pts: int = 4096,
-    score_fn=None,
+    score_fn=None, n_candidates: int = 1,
 ) -> Tuple[RelocResult, jnp.ndarray, jnp.ndarray]:
     """Grid search + ICP polish: returns (grid result, refined pose, icp err).
 
@@ -303,22 +346,49 @@ def relocalize_refined(
     score_fn is forwarded to relocalize(), so the sharded multi-chip
     scorer (parallel.sharding.sharded_reloc_score) works through the
     polished entry point too.
+
+    With n_candidates > 1, the top candidates by grid score (NMS'd over
+    (translation, yaw) — top_candidates) are ALL polished in one batched
+    ICP call and the lowest NORMALIZED ICP ERROR wins. Correlative hit
+    counts alias in self-similar rooms (two walls can explain a scan
+    almost equally well, especially on a sparse causal map); the
+    continuous geometric fit separates the true pose from such aliases by
+    orders of magnitude, so error-ranked selection is the robust mode for
+    kidnapped-robot recovery. The returned grid RelocResult still
+    describes the score-ranked best (its certificate applies to the grid
+    score, not the final selection).
     """
-    grid_res = relocalize(hit_map(logodds), map_cfg, pts, mask, cfg, center,
-                          score_fn=score_fn)
-    pose0 = grid_res.pose
+    out = relocalize(hit_map(logodds), map_cfg, pts, mask, cfg, center,
+                     score_fn=score_fn, return_leaves=True)
+    grid_res, leaves = out
+    angles = (cfg.yaw_center - cfg.yaw_span / 2.0
+              + cfg.yaw_span * np.arange(cfg.n_angles) / cfg.n_angles)
+    if n_candidates > 1:
+        cand, _ = top_candidates(leaves, angles, center, map_cfg,
+                                 n_candidates)
+    else:
+        cand = np.asarray(grid_res.pose, np.float32)[None]
+    B = cand.shape[0]
     # target window scales with the scan: every map cell the scan could
     # plausibly touch from the candidate pose, plus a drift margin
     scan_reach = float(jnp.max(jnp.where(
         mask, jnp.linalg.norm(pts, axis=-1), 0.0)))
-    tgt, tgt_m = occupied_points(
-        np.asarray(logodds), map_cfg, max_pts=icp_max_pts,
-        center=(float(pose0[0]), float(pose0[1])),
-        radius=scan_reach + cfg.icp_margin)
-    src_w = se2.transform_points(pts[None], se2.T_from_pose(pose0[None]))[0]
-    res = icp_ops.run_icp(src_w, jnp.asarray(tgt), max_iters=icp_max_iters,
-                          pc1_mask=mask, pc2_mask=jnp.asarray(tgt_m),
-                          normalize_error=True)
-    T2 = se2.TSE2_from_TSE3(res.T)
-    refined = se2.pose_from_T(T2 @ se2.T_from_pose(pose0))
-    return grid_res, refined, res.error
+    lo_np = np.asarray(logodds)
+    tgts = np.zeros((B, icp_max_pts, 2), np.float32)
+    tgt_ms = np.zeros((B, icp_max_pts), bool)
+    for b in range(B):
+        tgts[b], tgt_ms[b] = occupied_points(
+            lo_np, map_cfg, max_pts=icp_max_pts,
+            center=(float(cand[b, 0]), float(cand[b, 1])),
+            radius=scan_reach + cfg.icp_margin)
+    cand_j = jnp.asarray(cand)
+    src_w = se2.transform_points(pts[None], se2.T_from_pose(cand_j))
+    res = icp_ops.run_icp_batch(
+        icp_ops.lift_to_3d(src_w), icp_ops.lift_to_3d(jnp.asarray(tgts)),
+        jnp.broadcast_to(mask, (B,) + mask.shape), jnp.asarray(tgt_ms),
+        jnp.broadcast_to(jnp.eye(4, dtype=src_w.dtype), (B, 4, 4)),
+        max_iters=icp_max_iters, normalize_error=True, planar=True)
+    best = int(jnp.argmin(res.error))
+    T2 = se2.TSE2_from_TSE3(res.T[best])
+    refined = se2.pose_from_T(T2 @ se2.T_from_pose(cand_j[best]))
+    return grid_res, refined, res.error[best]

@@ -49,11 +49,28 @@ def build_parser():
     p.add_argument("--robust_loss", type=str, default="none",
                    choices=["none", "huber", "cauchy"],
                    help="robust m-estimator on loop factors in refine")
+    p.add_argument("--icp_metric", type=str, default="point",
+                   choices=["point", "point_to_line"],
+                   help="ICP correspondence metric for the streaming "
+                        "scan matcher and refinement (same surface as "
+                        "main.py): 'point' = reference parity; "
+                        "'point_to_line' (PLICP) removes the "
+                        "nearest-sample bias at ~3x fewer iterations")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="write the full online state here at the end "
                         "(and every --refine_every steps)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint instead of starting fresh")
+    p.add_argument("--relocalize_on_loss", action="store_true",
+                   help="detect tracking loss (scan-match RMS above "
+                        "--loss_rms): the lost step coasts on odometry "
+                        "without painting the map, then certified global "
+                        "relocalization against the causal map re-seeds "
+                        "the stream (kidnapped-robot recovery)")
+    p.add_argument("--loss_rms", type=float, default=0.3,
+                   help="tracking-loss threshold: RMS point-to-"
+                        "correspondence distance in meters (healthy "
+                        "consecutive matches sit at mm-cm)")
     p.add_argument("--map_path", type=str, default="online_map.png")
     p.add_argument("--poses_path", type=str, default=None,
                    help="save the streamed pose track (.npy)")
@@ -100,6 +117,12 @@ def main(argv=None):
                                                     "descriptor")
                            else cfg.pose_graph.loop_proposer),
             robust_loss=args.robust_loss))
+    if args.icp_metric != "point":
+        cfg = dataclasses.replace(
+            cfg, icp=dataclasses.replace(cfg.icp, metric=args.icp_metric))
+    if args.relocalize_on_loss:
+        cfg = dataclasses.replace(cfg, online=dataclasses.replace(
+            cfg.online, loss_rms_thresh=args.loss_rms))
 
     if args.synthetic:
         data = io_utils.synthetic_dataset(n_steps=args.synthetic, seed=0)
@@ -164,6 +187,19 @@ def main(argv=None):
     for t in range(start, n):
         st = online.online_step(st, counts[t], gyro[t], points[t],
                                 masks[t], cfg, K=K)
+        if args.relocalize_on_loss and float(st.match_rms) > args.loss_rms:
+            print(f"step {t}: tracking LOST (match RMS "
+                  f"{float(st.match_rms):.2f} m > {args.loss_rms}); "
+                  "relocalizing against the causal map...",
+                  file=sys.stderr)
+            st, grid_res, icp_err = online.relocalize_and_reseed(
+                st, cfg, K=K)
+            print(f"step {t}: relocalized to "
+                  f"{np.round(np.asarray(st.pose), 3)} "
+                  f"(grid score {float(grid_res.score):.0f}, certified="
+                  f"{bool(grid_res.certified)}, polish err "
+                  f"{float(icp_err):.2e}); stream re-seeded",
+                  file=sys.stderr)
         track.append(np.asarray(st.pose))
         if args.refine_every and t % args.refine_every == 0:
             if args.refine_loops == "none":

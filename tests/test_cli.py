@@ -159,6 +159,41 @@ def test_online_cli_dataset_mode(tmp_path):
     assert (tmp_path / "m.png").exists()
 
 
+@pytest.mark.slow
+def test_online_cli_icp_metric_plicp(tmp_path):
+    """--icp_metric point_to_line is plumbed through online_slam.py
+    (round-3 review: only main.py exposed it) and the PLICP streaming
+    run completes with a refinement pass."""
+    r = _run(["--synthetic", "40", "--res", "0.2", "--width", "16",
+              "--height", "16", "--window", "24",
+              "--icp_metric", "point_to_line", "--refine_every", "20",
+              "--map_path", str(tmp_path / "m.png"),
+              "--poses_path", str(tmp_path / "p.npy")],
+             cwd=str(tmp_path), script="online_slam.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "refined window" in r.stderr
+    track = np.load(tmp_path / "p.npy")
+    assert track.shape == (40, 3)
+    assert np.all(np.isfinite(track))
+
+
+@pytest.mark.slow
+def test_online_cli_relocalize_on_loss_flag(tmp_path):
+    """--relocalize_on_loss plumbs the loss gate through the driver; a
+    healthy stream never trips it (the kidnap recovery itself is covered
+    by tests/test_online.py::test_online_kidnapped_robot_recovers)."""
+    r = _run(["--synthetic", "30", "--res", "0.2", "--width", "16",
+              "--height", "16", "--window", "24",
+              "--relocalize_on_loss", "--loss_rms", "0.3",
+              "--map_path", str(tmp_path / "m.png"),
+              "--poses_path", str(tmp_path / "p.npy")],
+             cwd=str(tmp_path), script="online_slam.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tracking LOST" not in r.stderr
+    track = np.load(tmp_path / "p.npy")
+    assert track.shape == (30, 3)
+
+
 def test_online_cli_resume_refuses_missing_checkpoint(tmp_path):
     """--resume with a missing checkpoint must hard-error instead of
     silently starting fresh and overwriting the path at the end

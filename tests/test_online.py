@@ -193,3 +193,110 @@ def test_online_checkpoint_resume(tmp_path):
                                   np.asarray(st_resumed.logodds))
     np.testing.assert_array_equal(np.asarray(st.poses_hist),
                                   np.asarray(st_resumed.poses_hist))
+
+
+def _se2_T(pose):
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    return np.array([[c, -s, pose[0]], [s, c, pose[1]], [0, 0, 1.0]])
+
+
+def _se2_pose(T):
+    return np.array([T[0, 2], T[1, 2], np.arctan2(T[1, 0], T[0, 0])])
+
+
+def _kidnap_log(n=400, t_kidnap=300, t_target=70, n_rays=541, seed=0):
+    """A stream whose robot is TELEPORTED at step t_kidnap back to its
+    step-t_target location (already mapped), while encoders/gyro keep
+    reporting the continuous motion — the kidnapped-robot scenario.
+    Scans before/after the jump are raycast against the SAME room (one
+    _raycast_room call over both trajectories fixes the walls/pillars)."""
+    rng = np.random.default_rng(seed)
+    freq = 40.0
+    dt = 1.0 / freq
+    t = np.arange(n) * dt
+    v = np.full(n, 0.8)
+    w = np.full(n, 0.25)  # steady arc: large heading change over the run
+    theta = np.cumsum(w * dt)
+    gt = np.stack([np.cumsum(v * dt * np.cos(theta)),
+                   np.cumsum(v * dt * np.sin(theta)), theta], axis=1)
+    # rigid remap of the tail: pose t_kidnap lands exactly on pose t_target
+    T_off = _se2_T(gt[t_target]) @ np.linalg.inv(_se2_T(gt[t_kidnap]))
+    gt2 = gt.copy()
+    for i in range(t_kidnap, n):
+        gt2[i] = _se2_pose(T_off @ _se2_T(gt[i]))
+    angles = np.linspace(np.radians(-135.0), np.radians(135.0), n_rays)
+    ranges_all = io._raycast_room(np.concatenate([gt, gt2]), angles, 30.0,
+                                  rng)
+    ranges = np.where(np.arange(n)[:, None] < t_kidnap,
+                      ranges_all[:n], ranges_all[n:])
+    counts = np.stack([v / (0.0022 * freq)] * 4, axis=1)
+    counts += rng.normal(0, 0.05, counts.shape)
+    gyro = np.zeros((n, 3))
+    gyro[:, 2] = w + rng.normal(0, 2e-3, n)
+    return counts, gyro, ranges, gt2
+
+
+def test_online_kidnapped_robot_recovers():
+    """Mid-stream kidnap: the loss gate fires (coast, no map paint),
+    relocalize_and_reseed recovers the pose to <5 cm against the causal
+    map, and the stream continues tracking the post-kidnap trajectory
+    (round-3 review item 3: relocalization wired into serving).
+
+    Tracking uses PLICP: the scenario drives a constant arc, where
+    point-to-point ICP's nearest-sample bias accumulates meters of drift
+    over 300 steps (measured: 2.6 m / 0.7 rad) and the causal map frame
+    then diverges from ground truth before the kidnap even happens;
+    point_to_line tracks the same log to ~2 cm. The candidate polish is
+    what makes the recovery itself robust: this room's correlative hit
+    counts alias (the score-best grid node sits 7 m from the true pose),
+    and the error-ranked batched ICP over the top-8 NMS'd candidates
+    separates true (err ~3e-6) from alias (~1e-3) by 2.5 orders."""
+    import dataclasses
+
+    from lidar_slam_tpu.config import MapConfig, OnlineConfig
+
+    n, t_kidnap = 400, 300
+    counts, gyro, ranges, gt2 = _kidnap_log(n=n, t_kidnap=t_kidnap)
+    cfg = dataclasses.replace(
+        CFG,
+        map=MapConfig(resolution=0.1, world_min_x=-15.0, world_max_x=15.0,
+                      world_min_y=-15.0, world_max_y=15.0),
+        icp=dataclasses.replace(CFG.icp, metric="point_to_line"),
+        online=OnlineConfig(loss_rms_thresh=0.3))
+    counts = jnp.asarray(counts, jnp.float32)
+    gyro = jnp.asarray(gyro, jnp.float32)
+    points, masks = scan_ops.scans_to_points(
+        jnp.asarray(ranges, jnp.float32), 0.1, 30.0, cfg.lidar)
+    k = online.default_ray_cells(cfg, 30.0)
+
+    st = online.init_state(points[0], masks[0], cfg, n_max=512, K=k)
+    recovered_at = None
+    for t in range(1, n):
+        st = online.online_step(st, counts[t], gyro[t], points[t],
+                                masks[t], cfg, K=k)
+        rms = float(st.match_rms)
+        if rms > cfg.online.loss_rms_thresh:
+            assert t == t_kidnap, (
+                f"loss gate fired at step {t} (rms {rms:.3f}), expected "
+                f"only at the kidnap step {t_kidnap}")
+            pose_before = np.asarray(st.pose)
+            st, grid_res, icp_err = online.relocalize_and_reseed(
+                st, cfg, K=k)
+            recovered_at = t
+            # the coasted pose was far off; recovery must land <5 cm
+            # from the true post-kidnap pose
+            err_pos = np.hypot(*(np.asarray(st.pose)[:2] - gt2[t, :2]))
+            err_yaw = abs((float(st.pose[2]) - gt2[t, 2] + np.pi)
+                          % (2 * np.pi) - np.pi)
+            assert err_pos < 0.05, (err_pos, np.asarray(st.pose), gt2[t])
+            assert err_yaw < 0.03
+            # it really was a kidnap: the pre-recovery estimate was far out
+            assert np.hypot(*(pose_before[:2] - gt2[t, :2])) > 0.5
+    assert recovered_at == t_kidnap, "loss gate never fired"
+    # the stream continued and still tracks the post-kidnap trajectory
+    final_err = np.hypot(*(np.asarray(st.pose)[:2] - gt2[-1, :2]))
+    assert final_err < 0.15, final_err
+    # history stays refinable across the jump (the reseed writes the
+    # estimated teleport as the slot's between factor)
+    refined = online.refine(st, cfg)
+    assert np.all(np.isfinite(refined))
