@@ -30,8 +30,16 @@ def pathlib_cache():
     return d
 
 BASELINE_SECONDS = 372.0
+# reference texture stage, measured via tools/texture_reference_bench.py
+# (2026-08-19, 64 fabricated 480x640 frames through the reference's actual
+# generate_texture_map: 126.6 ms/frame x 2,407 dataset-20 RGB frames)
+TEXTURE_BASELINE_S = 304.6
+# reference --filter_lidar stage, tools/filter_reference_bench.py
+# (4.7 ms/scan x 4,956 scans)
+FILTER_BASELINE_S = 23.1
 N_STEPS = 4956
 N_RAYS = 1081
+N_RGB_FRAMES = 2407  # dataset-20 Kinect rgb track length
 
 
 def log(msg):
@@ -147,6 +155,7 @@ def main():
         grid = occupancy.build_logodds(opt.poses, points, masks, cfg.map, K)
         return opt.poses, grid, sm, accept
 
+    filter_s = None
     # warm-up: compiles every kernel at the real shapes
     log("warm-up (compiling)...")
     t0 = time.time()
@@ -225,8 +234,9 @@ def main():
         fm = filters.dbscan_filter_scans(timed_runs[0][2], timed_runs[0][3])
         fm = filters.statistical_filter_scans(timed_runs[0][2], fm)
         np.asarray(fm[:1])  # drain before the timed region
+        filter_s = time.time() - t0
         log(f"filter path (DBSCAN+statistical, {N_STEPS}x{N_RAYS}): "
-            f"{time.time() - t0:.2f}s "
+            f"{filter_s:.2f}s "
             f"(kept {float(jnp.mean(fm)):.3f} of rays)")
 
     log("timed runs (fresh data each)...")
@@ -332,6 +342,55 @@ def main():
         util["lm_solve_ms"] = round(stages["pose_graph_s"] * 1e3, 1)
         util["lm_iterations"] = int(opt.iterations)
 
+    # ---- texture stage: the reference's hot loop #4, measured at the
+    # FULL dataset-20 frame count (2,407 x 480x640) through the production
+    # packed-upload path (models/texture.py). Frames are synthesized per
+    # batch in the prefetch thread (values vary per batch, so the runtime
+    # cannot memoize; bytes/shapes identical to the real sensor stream).
+    # Decode is excluded here and measured separately by
+    # tools/texture_bench.py (~6 ms/frame, overlapped in the same prefetch
+    # thread in production) — the stage is upload-bound on the tunneled
+    # device (tools/upload_bench.py: 1.54 MB/frame at ~45 MB/s = 33.9
+    # ms/frame hard link floor).
+    texture_s = None
+    if os.environ.get("BENCH_TEXTURE") != "0":
+        from lidar_slam_tpu.models import texture as texture_mod
+
+        H, W = 480, 640
+        base_rng = np.random.default_rng(30)
+        base_disp = base_rng.integers(300, 800, (16, H, W)).astype(np.uint16)
+        base_rgb = base_rng.integers(0, 255, (16, H, W, 3)).astype(np.uint8)
+
+        def tex_loader(ids):
+            b = len(ids)
+            # cheap per-batch value variation (defeats memoization; the
+            # +offset stays within the valid disparity range)
+            off = np.uint16(int(ids[0]) % 97)
+            return base_disp[:b] + off, base_rgb[:b]
+
+        tex_grid = np.zeros((cfg.map.width, cfg.map.height), np.uint8)
+        tex_poses = np.asarray(base_rng.normal(0, 5.0, (N_RGB_FRAMES, 3)),
+                               np.float32)
+        frame_ids = np.arange(N_RGB_FRAMES)
+        log("texture warm-up (compiling)...")
+        texture_mod.generate_texture_map(
+            tex_poses[:23], np.arange(23), np.arange(23), tex_grid,
+            tex_loader, cfg.map, cfg.camera, batch_size=16)
+        log(f"texture stage ({N_RGB_FRAMES} frames, batch 16, packed "
+            "upload)...")
+        t0 = time.time()
+        texture_mod.generate_texture_map(
+            tex_poses, frame_ids, frame_ids, tex_grid, tex_loader,
+            cfg.map, cfg.camera, batch_size=16)
+        texture_s = time.time() - t0
+        stages["texture_s"] = round(texture_s, 3)
+        util["texture_ms_per_frame"] = round(texture_s * 1e3
+                                             / N_RGB_FRAMES, 1)
+        log(f"texture stage: {texture_s:.1f}s "
+            f"({util['texture_ms_per_frame']:.1f} ms/frame; reference "
+            f"{TEXTURE_BASELINE_S:.0f}s = "
+            f"{TEXTURE_BASELINE_S / texture_s:.1f}x)")
+
     pairs_per_s = (N_STEPS - 1) / elapsed  # headline convenience numbers
     log(f"e2e {elapsed:.2f}s | {pairs_per_s:.0f} scan-pairs/s equivalent | "
         f"speedup vs reference CPU {BASELINE_SECONDS / elapsed:.1f}x")
@@ -347,6 +406,26 @@ def main():
     if stages:
         out["stages"] = stages
         out["util"] = util
+    # SUPERSET: the reference's full `--mode gtsam --filter_lidar
+    # --generate_texture_map` run (SURVEY.md section 3.1) — core pipeline +
+    # scan filters + texture, each side measured at dataset-20 scale
+    # (reference rows: BASELINE.md; tools/*_reference_bench.py)
+    if texture_s is not None and filter_s is not None:
+        sup = elapsed + filter_s + texture_s
+        sup_base = BASELINE_SECONDS + FILTER_BASELINE_S + TEXTURE_BASELINE_S
+        out["superset"] = {
+            "metric": "dataset20_full_gtsam_filter_texture_seconds",
+            "value": round(sup, 3),
+            "baseline_s": round(sup_base, 1),
+            "vs_baseline": round(sup_base / sup, 2),
+            "composition_s": {"core": round(elapsed, 3),
+                              "filter": round(filter_s, 3),
+                              "texture": round(texture_s, 3)},
+        }
+        log(f"superset (core+filter+texture): {sup:.1f}s vs reference "
+            f"{sup_base:.0f}s = {sup_base / sup:.1f}x "
+            "(texture is tunnel-upload-bound at 1.54 MB/frame / ~45 MB/s; "
+            "an attached-host deployment removes that wall)")
     print(json.dumps(out))
 
 

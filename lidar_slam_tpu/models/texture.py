@@ -145,6 +145,44 @@ def frames_to_cells(
     return lin.reshape(-1), colors.reshape(-1), ok.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("B", "H", "W", "map_cfg", "cam_cfg"))
+def frames_to_cells_packed(
+    buf: jnp.ndarray,  # (B*H*W*5 + B*12,) uint8 — one upload per batch
+    B: int, H: int, W: int,
+    map_cfg: MapConfig,
+    cam_cfg: CameraConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """frames_to_cells over a SINGLE packed byte buffer.
+
+    The tunnel charges ~26 ms of latency PER TRANSFER regardless of size
+    (tools/upload_bench.py), so the three per-batch uploads (disparity,
+    rgb, poses) are packed host-side into one uint8 buffer and split on
+    device: [uint16 disparity | uint8 rgb | f32 poses] in row-major byte
+    order. bitcast_convert_type consumes the trailing byte axis with the
+    host's little-endian layout, so the unpacked arrays are bit-identical
+    to uploading the originals (tests/test_texture.py packed-path test).
+    """
+    n_d = B * H * W * 2
+    n_r = B * H * W * 3
+    disp = jax.lax.bitcast_convert_type(
+        buf[:n_d].reshape(B, H, W, 2), jnp.uint16)
+    rgb = buf[n_d:n_d + n_r].reshape(B, H, W, 3)
+    poses = jax.lax.bitcast_convert_type(
+        buf[n_d + n_r:n_d + n_r + B * 12].reshape(B, 3, 4), jnp.float32)
+    return frames_to_cells(disp, rgb, poses, map_cfg, cam_cfg)
+
+
+def pack_frame_batch(disp: np.ndarray, rgb: np.ndarray,
+                     poses: np.ndarray) -> np.ndarray:
+    """Host-side packing for frames_to_cells_packed: one contiguous uint8
+    buffer per batch (a ~25 MB memcpy at batch 16 — done in the prefetch
+    thread, overlapped with device compute)."""
+    return np.concatenate([
+        np.ascontiguousarray(disp, np.uint16).view(np.uint8).ravel(),
+        np.ascontiguousarray(rgb, np.uint8).ravel(),
+        np.ascontiguousarray(poses, np.float32).view(np.uint8).ravel()])
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def paint_cells(winner: jnp.ndarray, cell_color: jnp.ndarray,
                 lin: jnp.ndarray, colors: jnp.ndarray,
@@ -176,7 +214,7 @@ def generate_texture_map(
     load_frame_batch: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
     map_cfg: MapConfig = MapConfig(),
     cam_cfg: CameraConfig = CameraConfig(),
-    batch_size: int = 8,
+    batch_size: int = 16,
     dtype=jnp.float32,
 ) -> np.ndarray:
     """Build the texture map.
@@ -192,9 +230,13 @@ def generate_texture_map(
     The batch loop is DOUBLE-BUFFERED: a background thread decodes and
     uploads batch s+1 (jax.device_put is async) while the device computes
     batch s — on the tunneled device the host->device upload is the
-    stage's dominant cost and previously ran fully serialized with
-    compute. Integer disparity from the loader is uploaded raw (uint16,
-    half the bytes) and converted on device (frames_to_cells).
+    stage's dominant cost (the link moves ~45 MB/s with ~26 ms latency
+    per transfer and does NOT aggregate concurrent streams,
+    tools/upload_bench.py), so the production path packs each batch's
+    uint16 disparity + uint8 rgb + f32 poses into ONE byte buffer per
+    batch (pack_frame_batch / frames_to_cells_packed): minimum bytes
+    (5 B/pixel) at one transfer-latency per batch. The float-disparity
+    path (f64 oracle validation) keeps separate uploads.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -208,25 +250,29 @@ def generate_texture_map(
     def prep(s):
         ids = np.arange(s, min(s + batch_size, F))
         disp, rgb = load_frame_batch(ids)
-        # keep integer disparity integer (half the upload bytes; the
-        # device casts to f32 exactly) — UNLESS the caller asked for a
-        # different compute dtype (e.g. the f64 oracle validation path),
-        # which frames_to_cells must honor
-        if not (np.issubdtype(disp.dtype, np.integer)
+        pb = np.asarray(poses[rgb_pose_indices[ids]], dtype)
+        hw = disp.shape[1:]
+        if (np.issubdtype(disp.dtype, np.integer)
                 and jnp.dtype(dtype) == jnp.float32):
-            disp = np.asarray(disp, dtype)
-        return (jax.device_put(disp), jax.device_put(np.asarray(rgb)),
-                jax.device_put(np.asarray(poses[rgb_pose_indices[ids]],
-                                          dtype)))
+            # production path: raw sensor bytes, one upload per batch
+            return jax.device_put(pack_frame_batch(disp, rgb, pb)), ids, hw
+        # oracle path (caller-chosen compute dtype, e.g. f64)
+        return ((jax.device_put(np.asarray(disp, dtype)),
+                 jax.device_put(np.asarray(rgb)), jax.device_put(pb)),
+                ids, hw)
 
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(prep, starts[0]) if starts else None
         for i, s in enumerate(starts):
-            disp_d, rgb_d, poses_d = fut.result()
+            batch_d, ids, hw = fut.result()
             if i + 1 < len(starts):
                 fut = ex.submit(prep, starts[i + 1])
-            lin, colors, ok = frames_to_cells(disp_d, rgb_d, poses_d,
-                                              map_cfg, cam_cfg)
+            if isinstance(batch_d, tuple):
+                lin, colors, ok = frames_to_cells(*batch_d, map_cfg,
+                                                  cam_cfg)
+            else:
+                lin, colors, ok = frames_to_cells_packed(
+                    batch_d, len(ids), hw[0], hw[1], map_cfg, cam_cfg)
             # per-batch colors fold into the per-CELL array ON DEVICE;
             # only the final composed texture crosses back to the host
             # (per-batch color downloads dominated the stage wall on the

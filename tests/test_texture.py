@@ -161,3 +161,53 @@ def test_native_batch_loader(tmp_path):
     with pytest.raises(IOError):
         native.read_png_batch([paths[0], str(tmp_path / "nope.png")],
                               (12, 14), np.uint16)
+
+
+def test_packed_upload_path_bit_identical():
+    """The single-buffer upload path (pack_frame_batch on host +
+    frames_to_cells_packed's device-side bitcast unpack) must reproduce
+    the separate-array path bit-for-bit — it exists purely to pay one
+    tunnel-transfer latency per batch instead of three
+    (tools/upload_bench.py: ~26 ms/transfer regardless of size)."""
+    rng = np.random.default_rng(11)
+    B, H, W = 3, 24, 32
+    disp = rng.integers(300, 900, (B, H, W)).astype(np.uint16)
+    rgb = rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
+    poses = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+    map_cfg = MapConfig(resolution=0.2, world_min_x=-8, world_max_x=8,
+                        world_min_y=-8, world_max_y=8)
+    cam_cfg = CameraConfig()
+
+    lin0, col0, ok0 = texture.frames_to_cells(
+        jnp.asarray(disp), jnp.asarray(rgb), jnp.asarray(poses),
+        map_cfg, cam_cfg)
+    buf = texture.pack_frame_batch(disp, rgb, poses)
+    assert buf.dtype == np.uint8 and buf.shape == (B * H * W * 5 + B * 12,)
+    lin1, col1, ok1 = texture.frames_to_cells_packed(
+        jnp.asarray(buf), B, H, W, map_cfg, cam_cfg)
+    np.testing.assert_array_equal(np.asarray(lin0), np.asarray(lin1))
+    np.testing.assert_array_equal(np.asarray(col0), np.asarray(col1))
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+
+
+def test_generate_texture_packed_vs_float_loader():
+    """End-to-end: an integer-disparity loader (packed single-upload
+    path) and a float32 loader (separate-array path) produce the same
+    texture (the device-side uint16->f32 cast is exact)."""
+    rng = np.random.default_rng(12)
+    n = 7
+    disp_i = rng.integers(300, 900, (n, 24, 32)).astype(np.uint16)
+    rgb = rng.integers(0, 255, (n, 24, 32, 3)).astype(np.uint8)
+    poses = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    grid = rng.integers(0, 2, (81, 81)).astype(np.uint8)
+    map_cfg = MapConfig(resolution=0.2, world_min_x=-8, world_max_x=8,
+                        world_min_y=-8, world_max_y=8)
+    tex_i = texture.generate_texture_map(
+        poses, np.arange(n), np.arange(n), grid,
+        lambda ids: (disp_i[ids], rgb[ids]), map_cfg, CameraConfig(),
+        batch_size=3)
+    tex_f = texture.generate_texture_map(
+        poses, np.arange(n), np.arange(n), grid,
+        lambda ids: (disp_i[ids].astype(np.float32), rgb[ids]),
+        map_cfg, CameraConfig(), batch_size=3)
+    np.testing.assert_array_equal(tex_i, tex_f)
