@@ -408,15 +408,15 @@ def _resolve_version(cfg: MapConfig, K: int, version: int) -> int:
         the crossing bound), lane-tile 4 bits, row-tile the remaining top
         bits (non-negative int32 => <= 127 tiles)
     """
-    if version not in (1, 2, 3, 4, 7, 8):
+    if version not in (1, 2, 3, 4, 7, 8, 11):
         # fail loudly: silently running a different kernel than requested
         # would poison A/B timings (bit-identity can't catch a mislabel)
         raise ValueError(f"unknown raywalk kernel version {version}; "
-                         "known: 1, 2, 3, 4, 7, 8")
+                         "known: 1, 2, 3, 4, 7, 8, 11")
     Wp, Hp = _padded_dims(cfg)
-    if version in (2, 3, 4, 7, 8) and not (K <= _NCROSS * TS
-                                           and Wp <= 127 * TS
-                                           and Hp <= 16 * _LANES):
+    if version in (2, 3, 4, 7, 8, 11) and not (K <= _NCROSS * TS
+                                               and Wp <= 127 * TS
+                                               and Hp <= 16 * _LANES):
         return 1
     return version
 
@@ -875,6 +875,182 @@ def _make_kernel_v8(n_rays: int, log4: float, clip: float | None):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# v11: fused multi-scan build — ONE pallas_call for the whole map.
+#
+# v8 pays a per-scan cost for the carried grid's HBM<->VMEM round trip
+# (12.4 MB/scan), the lax.scan per-step dispatch, and the SMEM prefetch.
+# v11 removes it structurally — measured win 33 ms of the 0.88 s stage at
+# dataset-20 scale (0.171 vs 0.178 ms/scan, bit-identical, intra-process
+# A/B): the round trip rides HBM bandwidth (~61 GB over 4,956 scans
+# ≈ 70 ms of which ~half overlaps), while the REST of the masked-out
+# per-scan cost is per-RAY vector setup (V0/iota selects on (TS, 128)
+# tiles) that v11 necessarily keeps — see PERF.md round-4 floor notes.
+# Structure: the pallas grid becomes (n_scans,) and ITERATES over scans
+# inside one call, with
+#   - the log-odds grid as a REVISITED output block (constant index map):
+#     it stays resident in VMEM across all scans and is written back to HBM
+#     once, at the end;
+#   - each scan's v8 visit words + per-ray scalars streamed as per-step
+#     SMEM input blocks (Mosaic cannot scalar-load from VMEM with a dynamic
+#     lane index — measured: "cannot statically prove index is a multiple
+#     of 128" — so the words must land in SMEM, exactly like v8's scalar
+#     prefetch, but re-sliced per grid step). Block-shape rules force the
+#     per-scan rows into (8, C) pages — Mosaic requires the last two block
+#     dims divisible by (8, 128) — so ray r's words live at row r & 7,
+#     column (r >> 3) * stride: zero per-visit index math, and with C a
+#     multiple of 128 every row is a 512 B-pitch multiple (SMEM pads 2-D
+#     rows to 512 B, the v7 lesson), so nothing is wasted;
+#   - the per-scan clip (reference modules/ogm.py:188) applied in-kernel at
+#     the end of every grid step, exactly as v8 fuses it before writeback.
+# Walk order, mask math, and float accumulation order are byte-for-byte
+# v8's, so maps stay bit-identical to v8/v7/v3/v2/v1/scatter.
+#
+# (PERF.md's "v9"/"v10" name two measured/modeled-NEGATIVE design studies
+# that never merged; the version number 11 keeps that history unambiguous.)
+# ---------------------------------------------------------------------------
+
+_PAIR_INTS = 2 * (V_SLOTS + 2)  # ints per ray in the v8 interleaved word row
+
+
+def _fused_widths(n_rays: int) -> Tuple[int, int]:
+    """(aux, words) SMEM page widths for the v11 per-scan blocks."""
+    ca = _round_up(n_rays, 128)
+    cw = _round_up(-(-n_rays // 8) * _PAIR_INTS, 128)
+    return ca, cw
+
+
+def fused_descriptors(
+    poses: jnp.ndarray,
+    points: jnp.ndarray,
+    masks: jnp.ndarray,
+    cfg: MapConfig,
+    K: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-scan v8 words packed for per-step SMEM block streaming.
+
+    Returns aux (N, 8, CA) int32 — row f in [0, 6) holds field f of
+    [steep | sgM | sgm | dM | dm | d_end_g] at column r — and
+    w (N, 8, CW) int32 — ray r's _PAIR_INTS interleaved (C, w2) words at
+    [r & 7, (r >> 3) * _PAIR_INTS ...). Both page widths are 128-ints
+    multiples (_fused_widths), so Mosaic's (8, 128) block-divisibility
+    rule holds and every SMEM row is a whole number of 512 B pitches."""
+    n_rays = int(points.shape[1])
+    ca, cw = _fused_widths(n_rays)
+    rp = _round_up(n_rays, 8)
+
+    def one(pose, pts, m):
+        out = visit_descriptors_v8(pose, pts, m, cfg, K)
+        steep, sM, sm, sgM, sgm, dM, dm, c, k_in, k_out = out[:-2]
+        w, deg = out[-2], out[-1]
+        aux = jnp.zeros((8, ca), jnp.int32)
+        for f, v in enumerate((steep, sgM, sgm, dM, dm, deg)):
+            aux = aux.at[f, :n_rays].set(v.astype(jnp.int32))
+        # ray r -> [r & 7, (r >> 3) * _PAIR_INTS): pad rays to a multiple
+        # of 8 (pad rows are never walked — the kernel's fori stops at
+        # n_rays), group-transpose, pad columns to the page width
+        wp = jnp.zeros((rp, _PAIR_INTS), jnp.int32).at[:n_rays].set(w)
+        wp = wp.reshape(rp // 8, 8, _PAIR_INTS).transpose(1, 0, 2)
+        wp = wp.reshape(8, (rp // 8) * _PAIR_INTS)
+        return aux, jnp.zeros((8, cw), jnp.int32).at[:, :wp.shape[1]].set(wp)
+
+    return jax.vmap(one)(poses, points, masks)
+
+
+def _make_kernel_v11(n_rays: int, log4: float, clip: float):
+    log4 = float(log4)
+    clip = float(clip)
+
+    def kernel(aux_ref, w_ref, grid_ref):
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, _LANES), 1)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            grid_ref[:] = jnp.zeros(grid_ref.shape, grid_ref.dtype)
+
+        def ray_body(r, _):
+            steep = aux_ref[0, 0, r]
+            sgM = aux_ref[0, 1, r]
+            sgm = aux_ref[0, 2, r]
+            dM = jnp.maximum(aux_ref[0, 3, r], 1)
+            dm = aux_ref[0, 4, r]
+            deg = aux_ref[0, 5, r]
+            stp = steep == 1
+            ca = sgM * dm
+            cb = -sgm * dM
+            DR = jnp.where(stp, l_iota, s_iota)
+            V0 = ca * DR + cb * jnp.where(stp, s_iota, l_iota)
+            DRu = DR.astype(jnp.uint32)
+            dMu = dM.astype(jnp.uint32)
+            wr = r & 7
+            wb = (r >> 3) * _PAIR_INTS
+
+            def emit(C, w2):
+                span = w2 & 127
+                d_lo = (w2 >> 7) & 255
+                tile = w2 >> 15
+                lt = (tile & 15) * _LANES
+                rt = (tile >> 4) * TS
+                d_end = deg - jnp.where(stp, lt, rt)
+                val = V0 + C
+                mk = ((val.astype(jnp.uint32) < dMu)
+                      & ((DRu - d_lo.astype(jnp.uint32))
+                         <= span.astype(jnp.uint32)))
+                delta = jnp.where(
+                    mk, jnp.where(DR == d_end, log4, -log4), 0.0)
+                rts = pl.multiple_of(rt, TS)
+                lts = pl.multiple_of(lt, _LANES)
+                tile_v = grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)]
+                grid_ref[pl.ds(rts, TS), pl.ds(lts, _LANES)] = tile_v + delta
+
+            def visit_pair(carry):
+                vn, Ca, w2a, Cb, w2b = carry
+                emit(Ca, w2a)
+                emit(Cb, w2b)
+                return (vn + 4,
+                        w_ref[0, wr, wb + vn], w_ref[0, wr, wb + vn + 1],
+                        w_ref[0, wr, wb + vn + 2], w_ref[0, wr, wb + vn + 3])
+
+            jax.lax.while_loop(
+                lambda cv: cv[2] >= 0, visit_pair,
+                (jnp.int32(4), w_ref[0, wr, wb], w_ref[0, wr, wb + 1],
+                 w_ref[0, wr, wb + 2], w_ref[0, wr, wb + 3]))
+            return 0
+
+        jax.lax.fori_loop(0, n_rays, ray_body, 0)
+        # per-scan clip (reference ogm.py:188) on the VMEM-resident grid
+        grid_ref[:] = jnp.clip(grid_ref[:], -clip, clip)
+
+    return kernel
+
+
+def _build_fused(poses, points, masks, cfg: MapConfig, K: int,
+                 interpret: bool) -> jnp.ndarray:
+    n_scans = int(poses.shape[0])
+    n_rays = int(points.shape[1])
+    Wp, Hp = _padded_dims(cfg)
+    ca, cw = _fused_widths(n_rays)
+    aux, w = fused_descriptors(poses, points, masks, cfg, K)
+    call = pl.pallas_call(
+        _make_kernel_v11(n_rays, cfg.logodds_ratio, cfg.logodds_clip),
+        grid=(n_scans,),
+        in_specs=[
+            pl.BlockSpec((1, 8, ca), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, cw), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((Wp, Hp), lambda s: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Wp, Hp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+    return call(aux, w)[:cfg.width, :cfg.height]
+
+
 @partial(jax.jit, static_argnames=("cfg", "K", "interpret", "version"))
 def build_logodds_raywalk(
     poses: jnp.ndarray,
@@ -884,24 +1060,34 @@ def build_logodds_raywalk(
     K: int,
     init: jnp.ndarray | None = None,
     interpret: bool = False,
-    version: int = 8,
+    version: int = 11,
 ) -> jnp.ndarray:
-    """Full map build with the ray-walk kernel: lax.scan over scans, each
-    step one pallas_call on the padded grid (reference ogm.py:45-59).
+    """Full map build with the ray-walk kernel (reference ogm.py:45-59).
 
     Drop-in replacement for occupancy.build_logodds (same semantics; see
-    module docstring for the float-accumulation-order caveat). version=8
-    (default) walks v7's precomputed per-visit words TWO per loop
-    iteration (consecutive visits never share a tile, so the pair's
-    chains overlap; intra-process A/B on the v5e: 0.180 ms/scan vs v7's
-    0.190); v7 precomputes the per-visit affine constant and packed
-    span/tile word on the XLA side (vs v3's 0.220 in-kernel derivation);
-    v3/v4 derive them in-kernel from the v2 packed visit words; v2 keeps
-    the per-visit division chain; v1 computes the walk boundaries
-    in-kernel. All versions are bit-identical.
+    module docstring for the float-accumulation-order caveat). version=11
+    (default) fuses the WHOLE build into one pallas_call — pallas grid
+    over scans, map resident in VMEM across scans, per-scan words streamed
+    as SMEM blocks (intra-process A/B on the v5e at dataset-20 scale:
+    0.171 ms/scan vs v8's 0.178; init != None falls back to v8). v8 runs
+    a lax.scan of per-scan pallas_calls walking v7's precomputed per-visit
+    words TWO per loop iteration (consecutive visits never share a tile,
+    so the pair's chains overlap; 0.178-0.180 ms/scan vs v7's 0.190); v7
+    precomputes the per-visit affine constant and packed span/tile word on
+    the XLA side (vs v3's 0.220 in-kernel derivation); v3/v4 derive them
+    in-kernel from the v2 packed visit words; v2 keeps the per-visit
+    division chain; v1 computes the walk boundaries in-kernel. All
+    versions are bit-identical.
     """
     n_rays = int(points.shape[1])
+    if version == 11 and init is not None:
+        # the fused kernel zero-initializes its VMEM-resident grid; callers
+        # with an init grid (single-scan incremental paints, window
+        # rebuilds) take the per-scan v8 path, where init is free
+        version = 8
     version = _resolve_version(cfg, K, version)
+    if version == 11:
+        return _build_fused(poses, points, masks, cfg, K, interpret)
     call, describe = _make_call(n_rays, cfg, interpret, version,
                                 clip=cfg.logodds_clip)
     Wp, Hp = _padded_dims(cfg)

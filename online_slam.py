@@ -74,6 +74,20 @@ def build_parser():
     p.add_argument("--map_path", type=str, default="online_map.png")
     p.add_argument("--poses_path", type=str, default=None,
                    help="save the streamed pose track (.npy)")
+    p.add_argument("--localize", type=str, default=None, metavar="MAP.npy",
+                   help="localization-only serving mode: instead of SLAM, "
+                        "stream particle-filter localization against this "
+                        "saved log-odds grid (.npy, e.g. main.py "
+                        "--save_logodds output) — the map must have been "
+                        "built with the same --res/--width/--height")
+    p.add_argument("--particles", type=int, default=256,
+                   help="particle count for --localize")
+    p.add_argument("--x0", type=str, default=None, metavar="X,Y,YAW",
+                   help="initial pose for --localize (default 0,0,0)")
+    p.add_argument("--global_init", action="store_true",
+                   help="kidnapped-robot start for --localize: spread the "
+                        "initial particles uniformly over the map's FREE "
+                        "cells with random headings instead of all at --x0")
     return p
 
 

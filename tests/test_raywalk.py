@@ -174,6 +174,11 @@ def test_raywalk_v3_matches_v2():
     g8 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
                                           interpret=True, version=8))
     np.testing.assert_array_equal(g3, g8)
+    # v11 (fused multi-scan: one pallas_call, grid over scans, VMEM-resident
+    # map, per-step SMEM descriptor blocks) too
+    g11 = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
+                                           interpret=True, version=11))
+    np.testing.assert_array_equal(g3, g11)
 
 
 def test_raywalk_fuzz_random_configs():
@@ -211,7 +216,7 @@ def test_raywalk_fuzz_random_configs():
         want = np.asarray(build_logodds(
             jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks),
             cfg, K, backend="scatter"))
-        for version in (1, 2, 3, 7, 8):
+        for version in (1, 2, 3, 7, 8, 11):
             got = np.asarray(build_logodds_raywalk(
                 jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(masks),
                 cfg, K, interpret=True, version=version))
@@ -248,6 +253,45 @@ def test_large_k_falls_back_and_stays_exact():
                                     backend="scatter"))
     np.testing.assert_array_equal(got, want)
     assert (got != 0).sum() > 1000
+
+
+def test_v11_init_falls_back_to_per_scan_path():
+    """The fused kernel zero-initializes its VMEM-resident grid, so
+    version=11 with an init grid must route to the per-scan v8 path and
+    still produce the exact incremental result."""
+    poses, pts, masks = _adversarial_scans(seed=11, n=6, r=96)
+    init = jnp.asarray(
+        np.random.default_rng(5).normal(0, 1, (CFG.width, CFG.height)),
+        jnp.float32)
+    want = np.asarray(build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                            init=init, interpret=True,
+                                            version=8))
+    got = np.asarray(build_logodds_raywalk(poses, pts, masks, CFG, K,
+                                           init=init, interpret=True,
+                                           version=11))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_v11_large_k_falls_back_and_stays_exact():
+    """K beyond the shared v2 visit-crossing capacity must drop v11 to v1,
+    exactly like v8 (the fused path reuses the v8 word format and inherits
+    its capacity limits)."""
+    cfg = MapConfig(resolution=0.025, world_max_x=10, world_min_x=-10,
+                    world_max_y=10, world_min_y=-10)
+    k = 768
+    rng = np.random.default_rng(9)
+    n, r = 3, 48
+    ang = rng.uniform(-np.pi, np.pi, (n, r))
+    dist = rng.uniform(1.0, 19.0, (n, r))
+    pts = jnp.asarray(np.stack([dist * np.cos(ang), dist * np.sin(ang)],
+                               axis=-1), jnp.float32)
+    masks = jnp.ones((n, r), bool)
+    poses = jnp.asarray(rng.normal(0, 0.5, (n, 3)), jnp.float32)
+    want = np.asarray(build_logodds(poses, pts, masks, cfg, k,
+                                    backend="scatter"))
+    got = np.asarray(build_logodds_raywalk(poses, pts, masks, cfg, k,
+                                           interpret=True, version=11))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_unknown_version_raises():

@@ -3,7 +3,11 @@
 Dependency-chained reps (each rep's input is perturbed by the previous
 rep's output) so the runtime's value memoization cannot shortcut.
 
-    python tools/sm_bench.py [chunk ...]
+    python tools/sm_bench.py [chunk ...] [argsort|cumsum ...] \
+                             [point|point_to_line ...]
+
+Bare args combine as a product: chunk sizes (ints), phased-resort
+partition names, and ICP metrics (PLICP = point_to_line).
 """
 
 import sys
@@ -29,8 +33,10 @@ def log(m):
 def main():
     args = [a for a in sys.argv[1:]]
     partitions = [a for a in args if a in ("argsort", "cumsum")]
+    metrics = [a for a in args if a in ("point", "point_to_line")]
     chunks = [int(c) for c in args if c.isdigit()] or [64]
     partitions = partitions or ["argsort"]
+    metrics = metrics or ["point"]
     cfg = SlamConfig()
     from lidar_slam_tpu.utils.profiling import devices_or_die
     log(f"device: {devices_or_die()[0]}")
@@ -42,18 +48,22 @@ def main():
     points, masks = scan_ops.scans_to_points(ranges, 0.1, 30.0, cfg.lidar)
     poses = odometry.poses_from_odometry(counts, gyro)
 
+    import dataclasses
     import itertools
-    for chunk, part in itertools.product(chunks, partitions):
+    for chunk, part, metric in itertools.product(chunks, partitions, metrics):
+        icp_cfg = dataclasses.replace(cfg.icp, metric=metric)
+
         def run(p):
             sm = scan_matching.poses_from_scan_matching(
-                p, points, masks, cfg.icp, chunk_size=chunk,
+                p, points, masks, icp_cfg, chunk_size=chunk,
                 partition=part)
             return sm
 
         t0 = time.time()
         sm = run(poses)
         np.asarray(sm.poses)
-        log(f"chunk={chunk} partition={part}: warm-up {time.time()-t0:.1f}s "
+        log(f"chunk={chunk} partition={part} metric={metric}: "
+            f"warm-up {time.time()-t0:.1f}s "
             f"(iters mean {float(jnp.mean(sm.iters)):.1f} "
             f"max {int(jnp.max(sm.iters))})")
         reps = 3
@@ -65,7 +75,9 @@ def main():
             sm = run(p)
         np.asarray(sm.poses)
         dt = (time.time() - t0) / reps
-        log(f"chunk={chunk} partition={part}: {dt:.3f}s per run")
+        log(f"chunk={chunk} partition={part} metric={metric}: "
+            f"{dt:.3f}s per run "
+            f"(iters mean {float(jnp.mean(sm.iters)):.1f})")
 
 
 if __name__ == "__main__":
