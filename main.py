@@ -63,6 +63,13 @@ def build_parser():
                              "every pose a revisit of the previous lap)")
     parser.add_argument("--output_dir", type=str, default="outputs/",
                         help="Directory for stage .npy artifacts")
+    parser.add_argument("--save_logodds", type=str, default=None,
+                        metavar="PATH.npy",
+                        help="Also save the final log-odds grid (.npy) — "
+                             "the map artifact online_slam.py --localize "
+                             "consumes (new surface; implies building the "
+                             "occupancy map even without "
+                             "--generate_texture_map)")
     parser.add_argument("--load_poses", type=str, default=None,
                         help="Resume from a saved poses .npy: skip pose "
                              "estimation and only build maps/texture "
@@ -194,7 +201,8 @@ def main(argv=None):
             io.load_numpy(args.load_poses),
             lidar.ranges_synced, float(lidar.range_min),
             float(lidar.range_max), filter_lidar=args.filter_lidar, cfg=cfg,
-            build_map=args.generate_texture_map)
+            build_map=(args.generate_texture_map
+                       or bool(args.save_logodds)))
         print(f"(resumed from {args.load_poses})")
     else:
         result = slam.run_slam(
@@ -202,10 +210,14 @@ def main(argv=None):
             float(lidar.range_min), float(lidar.range_max),
             mode=args.mode, filter_lidar=args.filter_lidar,
             fixed_interval=args.fixed_interval, cfg=cfg,
-            build_map=args.generate_texture_map)
+            build_map=(args.generate_texture_map
+                       or bool(args.save_logodds)))
 
     if not args.load_poses:
         _save_stage_artifacts(io, result, args.output_dir, dataset_num)
+    if args.save_logodds:
+        io.save_numpy(result.logodds, args.save_logodds)
+        print(f"log-odds grid saved at {args.save_logodds}")
     print("\n")
 
     if args.generate_texture_map:

@@ -10,6 +10,9 @@ checkpoint/resume.
     python online_slam.py --synthetic 500                 # synthetic stream
     python online_slam.py --dataset 20 --dataset_path data/
     python online_slam.py --synthetic 500 --checkpoint ck.npz --resume
+    python online_slam.py --synthetic 500 --localize map.npy  # PF-only
+        # (map.npy from `main.py --save_logodds map.npy`; localization-only
+        #  serving against a known map — models/particle_filter.py)
 
 Device-side step cost on one v5e: 0.57 ms/step (1,764 Hz) with the
 whole stream inside one jit; stepping eagerly from the host adds the
@@ -85,14 +88,112 @@ def build_parser():
     p.add_argument("--x0", type=str, default=None, metavar="X,Y,YAW",
                    help="initial pose for --localize (default 0,0,0)")
     p.add_argument("--global_init", action="store_true",
-                   help="kidnapped-robot start for --localize: spread the "
-                        "initial particles uniformly over the map's FREE "
-                        "cells with random headings instead of all at --x0")
+                   help="kidnapped-robot start for --localize: certified "
+                        "global relocalization on the first scan fixes the "
+                        "initial pose (models/relocalization.py), and the "
+                        "particles seed as a cloud around the fix — a blind "
+                        "uniform spread would need O(map area x headings) "
+                        "particles to contain the true pose")
     return p
+
+
+def _run_localize(args, cfg, counts, gyro, points, masks):
+    """Localization-only serving: stream PF steps against a saved map."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lidar_slam_tpu.models import occupancy
+    from lidar_slam_tpu.models.particle_filter import (PFConfig,
+                                                       init_pf_state,
+                                                       pf_step)
+    from lidar_slam_tpu.models.odometry import v_from_encoder
+
+    logodds = np.load(args.localize)
+    if logodds.shape != (cfg.map.width, cfg.map.height):
+        raise SystemExit(
+            f"--localize: map {args.localize!r} has shape {logodds.shape} "
+            f"but --res/--width/--height imply "
+            f"({cfg.map.width}, {cfg.map.height}); pass the flags the map "
+            "was built with")
+    im = jnp.asarray(logodds > 0, jnp.float32)  # 1 at obstacles
+
+    pf_cfg = PFConfig(n_particles=args.particles)
+    x0 = jnp.zeros(3, jnp.float32)
+    if args.x0 is not None:
+        vals = [float(v) for v in args.x0.split(",")]
+        if len(vals) != 3:
+            raise SystemExit(f"--x0 wants X,Y,YAW, got {args.x0!r}")
+        x0 = jnp.asarray(vals, jnp.float32)
+
+    init_particles = None
+    if args.global_init:
+        # kidnapped-robot start: the certified multi-resolution search
+        # fixes scan 0's pose anywhere in the map (alias-robust: top
+        # candidates ICP-polished, lowest normalized error wins), then the
+        # particles seed as a cloud around the fix. A blind uniform spread
+        # was measured NOT to converge at serving particle counts (128
+        # particles over a 30x30 m map x yaw: 6.8 m mean error).
+        from lidar_slam_tpu.models.relocalization import (RelocConfig,
+                                                          relocalize_refined)
+        reach = 0.5 * max(cfg.map.world_max_x - cfg.map.world_min_x,
+                          cfg.map.world_max_y - cfg.map.world_min_y)
+        t_r = time.time()
+        grid_res, pose_fix, icp_err = relocalize_refined(
+            jnp.asarray(logodds, jnp.float32), cfg.map, points[0],
+            masks[0], RelocConfig(search_radius=reach), n_candidates=4)
+        print(f"global init: relocalized scan 0 to "
+              f"{np.round(np.asarray(pose_fix), 3)} in "
+              f"{time.time() - t_r:.1f}s (grid score "
+              f"{float(grid_res.score):.0f}, certified="
+              f"{bool(grid_res.certified)}, polish err "
+              f"{float(icp_err):.2e})", file=sys.stderr)
+        x0 = jnp.asarray(pose_fix, jnp.float32)
+        rng = np.random.default_rng(0)
+        cloud = np.asarray(x0)[None, :] + np.stack(
+            [rng.normal(0, 2.0 * cfg.map.resolution, pf_cfg.n_particles),
+             rng.normal(0, 2.0 * cfg.map.resolution, pf_cfg.n_particles),
+             rng.normal(0, 0.05, pf_cfg.n_particles)], axis=-1)
+        init_particles = jnp.asarray(cloud, jnp.float32)
+
+    v_all = v_from_encoder(counts)
+    wyaw_all = gyro[:, -1].astype(jnp.float32)
+    state = init_pf_state(pf_cfg, x0, init_particles=init_particles)
+    n = int(points.shape[0])
+    track = [np.asarray(x0)]
+    t0 = time.time()
+    for t in range(1, n):
+        state, (est, neff, _) = pf_step(state, v_all[t], wyaw_all[t],
+                                        points[t], masks[t], im,
+                                        cfg.map, pf_cfg)
+        track.append(np.asarray(est))
+    dt = time.time() - t0
+    print(f"localized {n - 1} steps in {dt:.2f}s "
+          f"({(n - 1) / dt:.0f} Hz incl. host dispatch, "
+          f"{args.particles} particles); final pose "
+          f"{np.round(track[-1], 3)} (Neff {float(neff):.0f})",
+          file=sys.stderr)
+    if args.poses_path:
+        np.save(args.poses_path, np.asarray(track))
+        print(f"pose track -> {args.poses_path}", file=sys.stderr)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.localize:
+        # fail fast on flags that only make sense for the SLAM stream —
+        # silently ignoring them would misrepresent what ran
+        for flag, name in ((args.resume, "--resume"),
+                           (args.checkpoint, "--checkpoint"),
+                           (args.refine_every, "--refine_every"),
+                           (args.relocalize_on_loss, "--relocalize_on_loss")):
+            if flag:
+                raise SystemExit(f"--localize is localization-only; "
+                                 f"{name} applies to the SLAM stream")
+        if not os.path.exists(args.localize):
+            raise SystemExit(f"--localize: map {args.localize!r} "
+                             "does not exist")
 
     if args.resume:
         # a missing checkpoint under --resume must NOT silently fall through
@@ -164,6 +265,11 @@ def main(argv=None):
     rmax = float(np.asarray(data["lidar"].get("range_max", 30.0)))
     points, masks = scan_ops.scans_to_points(ranges, rmin, rmax, cfg.lidar)
     n = int(points.shape[0])
+
+    if args.localize:
+        _run_localize(args, cfg, counts, gyro, points, masks)
+        return
+
     K = online.default_ray_cells(cfg, rmax)
 
     start = 1

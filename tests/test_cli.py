@@ -208,3 +208,74 @@ def test_online_cli_resume_refuses_missing_checkpoint(tmp_path):
               cwd=str(tmp_path), script="online_slam.py")
     assert r2.returncode != 0
     assert "requires --checkpoint" in r2.stderr
+
+
+@pytest.mark.slow
+def test_online_cli_localize_roundtrip(tmp_path):
+    """Map-then-localize serving round trip (round-3 review: PF
+    localization was demo-ware, unreachable from any driver): main.py
+    --save_logodds exports the grid, online_slam.py --localize streams
+    the particle filter against it and tracks the mapping trajectory."""
+    m = str(tmp_path / "map.npy")
+    r = _run(["--mode", "odom", "--synthetic", "60", "--res", "0.1",
+              "--width", "30", "--height", "30", "--save_logodds", m,
+              "--output_dir", str(tmp_path / "outputs")], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "log-odds grid saved" in r.stdout
+    gt = np.load(tmp_path / "outputs" / "poses_odom_20.npy")
+
+    r2 = _run(["--synthetic", "60", "--res", "0.1", "--width", "30",
+               "--height", "30", "--localize", m, "--particles", "128",
+               "--poses_path", str(tmp_path / "p.npy")],
+              cwd=str(tmp_path), script="online_slam.py")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "localized 59 steps" in r2.stderr
+    track = np.load(tmp_path / "p.npy")
+    assert track.shape == (60, 3)
+    err = np.linalg.norm(track[:, :2] - gt[:, :2], axis=1)
+    assert float(err.mean()) < 0.3, err.mean()
+
+
+def test_online_cli_localize_flag_validation(tmp_path):
+    """--localize refuses SLAM-stream flags and mismatched map shapes
+    instead of silently ignoring them."""
+    m = str(tmp_path / "map.npy")
+    np.save(m, np.zeros((10, 10), np.float32))
+    r = _run(["--synthetic", "10", "--localize", m, "--refine_every", "5"],
+             cwd=str(tmp_path), script="online_slam.py")
+    assert r.returncode != 0
+    assert "localization-only" in r.stderr
+    # shape mismatch: default --res/--width/--height imply (1200, 1200)
+    r2 = _run(["--synthetic", "10", "--localize", m],
+              cwd=str(tmp_path), script="online_slam.py")
+    assert r2.returncode != 0
+    assert "pass the flags the map was built with" in r2.stderr
+    r3 = _run(["--synthetic", "10",
+               "--localize", str(tmp_path / "missing.npy")],
+              cwd=str(tmp_path), script="online_slam.py")
+    assert r3.returncode != 0
+    assert "does not exist" in r3.stderr
+
+
+@pytest.mark.slow
+def test_online_cli_localize_global_init(tmp_path):
+    """--global_init fixes scan 0's pose by certified global relocalization
+    (no --x0 given) and the filter then TRACKS the mapping trajectory — a
+    blind uniform particle spread provably cannot at serving counts."""
+    m = str(tmp_path / "map.npy")
+    r = _run(["--mode", "odom", "--synthetic", "40", "--res", "0.1",
+              "--width", "30", "--height", "30", "--save_logodds", m,
+              "--output_dir", str(tmp_path / "outputs")], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    gt = np.load(tmp_path / "outputs" / "poses_odom_20.npy")
+    r2 = _run(["--synthetic", "40", "--res", "0.1", "--width", "30",
+               "--height", "30", "--localize", m, "--particles", "64",
+               "--global_init",
+               "--poses_path", str(tmp_path / "p.npy")],
+              cwd=str(tmp_path), script="online_slam.py")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "global init: relocalized scan 0" in r2.stderr
+    track = np.load(tmp_path / "p.npy")
+    assert track.shape == (40, 3)
+    err = np.linalg.norm(track[:, :2] - gt[:, :2], axis=1)
+    assert float(err.mean()) < 0.3, err.mean()
