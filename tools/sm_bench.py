@@ -66,6 +66,14 @@ def main():
             f"warm-up {time.time()-t0:.1f}s "
             f"(iters mean {float(jnp.mean(sm.iters)):.1f} "
             f"max {int(jnp.max(sm.iters))})")
+        # FRESH-VALUE throwaway: the first fresh execution after the
+        # warm-up still pays ~1 s of process/tunnel warm-in (measured
+        # 2026-08-19: the FIRST leg of every process timed 0.72-0.87 s/run
+        # while every later leg timed 0.44, regardless of configuration —
+        # the round-3 "cumsum 0.431 vs argsort 0.762" split was exactly
+        # this ordering artifact, the two partitions are equal)
+        sm = run(poses + 1e-7 * sm.poses)
+        np.asarray(sm.poses)
         reps = 3
         p = poses
         t0 = time.time()
