@@ -168,6 +168,36 @@ def visualize_icp_result(source_pc, target_pc, aligned_pc, out_path,
     plt.close()
 
 
+def view_interactive(clouds, colors=None) -> bool:
+    """Open the clouds in an interactive Open3D window when open3d is
+    importable (the reference's visualize_icp_result UI — reference:
+    code/icp_warm_up/utils.py:33-50). Returns False without raising when
+    open3d or a display is unavailable (this image ships neither), so
+    callers can fall back to export_ply/visualize_icp_result — the same
+    geometry, viewable in any external 3-D viewer."""
+    try:
+        import open3d as o3d
+    except Exception:
+        return False
+    if isinstance(clouds, np.ndarray):
+        clouds = [clouds]
+    palette = [(0.0, 0.0, 1.0), (1.0, 0.0, 0.0), (0.0, 0.7, 0.0)]
+    geoms = []
+    for i, c in enumerate(clouds):
+        pcd = o3d.geometry.PointCloud()
+        pcd.points = o3d.utility.Vector3dVector(
+            np.asarray(c, np.float64).reshape(-1, 3))
+        col = (colors[i] if colors is not None
+               else palette[i % len(palette)])
+        pcd.paint_uniform_color(list(col))
+        geoms.append(pcd)
+    try:
+        o3d.visualization.draw_geometries(geoms)
+    except Exception:
+        return False  # headless: no display to draw into
+    return True
+
+
 def export_ply(path: str, clouds, colors=None) -> None:
     """Write one or more point clouds into a single ASCII PLY file.
 

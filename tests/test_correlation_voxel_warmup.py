@@ -197,3 +197,13 @@ def test_warmup_synthetic_clouds_align():
     target = warmup.synthetic_pc(model, idx=0, seed=3)
     _, best_err, _ = warmup.best_icp_alignment(model, target, n_seeds=6)
     assert best_err < 1e-3
+
+
+def test_view_interactive_falls_back_without_open3d():
+    """view_interactive (the reference's o3d window analog,
+    code/icp_warm_up/utils.py:33-50) must return False — never raise —
+    when open3d is absent (this image) so callers route to export_ply."""
+    from lidar_slam_tpu.models import warmup
+
+    clouds = [np.zeros((4, 3), np.float32), np.ones((4, 3), np.float32)]
+    assert warmup.view_interactive(clouds) in (False,)  # no open3d here

@@ -18,6 +18,10 @@ if __name__ == "__main__":
     parser.add_argument("--export_ply", action="store_true",
                         help="also write images/<obj>_<i>.ply (aligned + "
                              "target clouds) for interactive 3-D viewers")
+    parser.add_argument("--interactive", action="store_true",
+                        help="open each alignment in an Open3D window "
+                             "(reference UI; falls back to the PLY export "
+                             "when open3d/a display is unavailable)")
     parser.add_argument("--synthetic", action="store_true",
                         help="run on synthetic clouds (the reference "
                              "gitignores its data/, so the .mat models "
@@ -44,6 +48,12 @@ if __name__ == "__main__":
         aligned = source_pc @ best_T[:3, :3].T + best_T[:3, 3]
         warmup.visualize_icp_result(source_pc, target_pc, aligned,
                                     f"images/{args.obj_name}_{i}.png")
+        if args.interactive:
+            if not warmup.view_interactive([aligned, target_pc]):
+                print(f"PC {i}: open3d/display unavailable; writing "
+                      f"images/{args.obj_name}_{i}.ply instead")
+                warmup.export_ply(f"images/{args.obj_name}_{i}.ply",
+                                  [aligned, target_pc])
         if args.export_ply:
             warmup.export_ply(f"images/{args.obj_name}_{i}.ply",
                               [aligned, target_pc])
