@@ -307,8 +307,9 @@ def main():
 
         # ---- utilization vs the measured device floors (PERF.md) ----
         # map walk: tile visits actually executed by the ray-walk kernel
-        # (each = one masked (TS, 128) vector RMW); the floor is
-        # ~37 ns/visit on the v5e (v8 kernel, PERF.md round 3)
+        # (each = one masked (TS, 128) vector RMW); ~21 ns/visit on the
+        # v5e once desc precompute + per-ray setup are netted out (v11
+        # fused kernel; derived stage floor 0.70 s — PERF.md round 4)
         from lidar_slam_tpu.ops.raywalk import _resolve_version, visit_descriptors
         # the visit model only describes the v2+ packed-descriptor kernels;
         # if capacity limits ever force the v1 fallback (K too large for

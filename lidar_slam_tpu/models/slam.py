@@ -456,6 +456,13 @@ def run_slam(
     counts = jnp.asarray(counts)
     gyro = jnp.asarray(gyro)
 
+    if cfg.icp.metric == "point_to_line" and chunk_size > 32:
+        # chunk=64 point_to_line crashes the TPU worker deterministically
+        # at dataset scale (2/2, same failure family as the closed
+        # chunk=128 config); chunk=32 measures 0.481 s/run — wall-clock
+        # parity with the point metric. PERF.md round 4.
+        chunk_size = 32
+
     points, masks = scan_ops.scans_to_points(
         jnp.asarray(ranges), range_min, range_max, cfg.lidar)
 

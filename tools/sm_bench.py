@@ -4,7 +4,7 @@ Dependency-chained reps (each rep's input is perturbed by the previous
 rep's output) so the runtime's value memoization cannot shortcut.
 
     python tools/sm_bench.py [chunk ...] [argsort|cumsum ...] \
-                             [point|point_to_line ...]
+                             [point|point_to_line ...] [scans=N]
 
 Bare args combine as a product: chunk sizes (ints), phased-resort
 partition names, and ICP metrics (PLICP = point_to_line).
@@ -34,6 +34,10 @@ def main():
     args = [a for a in sys.argv[1:]]
     partitions = [a for a in args if a in ("argsort", "cumsum")]
     metrics = [a for a in args if a in ("point", "point_to_line")]
+    n_steps = 4956
+    scans_args = [a for a in args if a.startswith("scans=")]
+    if scans_args:
+        n_steps = int(scans_args[-1].split("=")[1])
     chunks = [int(c) for c in args if c.isdigit()] or [64]
     partitions = partitions or ["argsort"]
     metrics = metrics or ["point"]
@@ -41,7 +45,7 @@ def main():
     from lidar_slam_tpu.utils.profiling import devices_or_die
     log(f"device: {devices_or_die()[0]}")
 
-    data = io.synthetic_dataset(n_steps=4956, n_rays=1081, seed=20)
+    data = io.synthetic_dataset(n_steps=n_steps, n_rays=1081, seed=20)
     counts = jnp.asarray(data["encoder"]["counts"], jnp.float32)
     gyro = jnp.asarray(data["imu"]["angular_velocity"], jnp.float32)
     ranges = jnp.asarray(data["lidar"]["ranges"], jnp.float32)
