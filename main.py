@@ -108,6 +108,16 @@ def build_parser():
                              "nearest-sample bias — 45-120x lower "
                              "trajectory drift on synthetic logs at "
                              "~3x fewer ICP iterations")
+    parser.add_argument("--export_ros_map", type=str, default=None,
+                        metavar="STEM",
+                        help="Also export the occupancy map as ROS "
+                             "map_server STEM.pgm + STEM.yaml "
+                             "(nav2/AMCL-consumable)")
+    parser.add_argument("--export_tum", type=str, default=None,
+                        metavar="PATH",
+                        help="Also export the final trajectory in TUM "
+                             "format (timestamp x y z qx qy qz qw; "
+                             "evo-compatible)")
     return parser
 
 
@@ -202,7 +212,8 @@ def main(argv=None):
             lidar.ranges_synced, float(lidar.range_min),
             float(lidar.range_max), filter_lidar=args.filter_lidar, cfg=cfg,
             build_map=(args.generate_texture_map
-                       or bool(args.save_logodds)))
+                       or bool(args.save_logodds)
+                       or bool(args.export_ros_map)))
         print(f"(resumed from {args.load_poses})")
     else:
         result = slam.run_slam(
@@ -211,13 +222,33 @@ def main(argv=None):
             mode=args.mode, filter_lidar=args.filter_lidar,
             fixed_interval=args.fixed_interval, cfg=cfg,
             build_map=(args.generate_texture_map
-                       or bool(args.save_logodds)))
+                       or bool(args.save_logodds)
+                       or bool(args.export_ros_map)))
 
     if not args.load_poses:
         _save_stage_artifacts(io, result, args.output_dir, dataset_num)
     if args.save_logodds:
         io.save_numpy(result.logodds, args.save_logodds)
         print(f"log-odds grid saved at {args.save_logodds}")
+    if args.export_ros_map:
+        from lidar_slam_tpu.utils import export
+        import numpy as np
+        pgm, yml = export.save_map_ros(np.asarray(result.logodds), cfg.map,
+                                       args.export_ros_map)
+        print(f"ROS map_server map saved at {pgm} + {yml}")
+    if args.export_tum:
+        from lidar_slam_tpu.utils import export
+        import numpy as np
+        final = result.poses_optimized
+        if final is None:
+            final = result.poses_scan_matching
+        if final is None:
+            final = result.poses_odom
+        final = np.asarray(final)
+        stamps = np.asarray(encoder.stamps)[:final.shape[0]] \
+            if len(encoder.stamps) >= final.shape[0] else None
+        export.save_trajectory_tum(args.export_tum, final, stamps)
+        print(f"TUM trajectory saved at {args.export_tum}")
     print("\n")
 
     if args.generate_texture_map:

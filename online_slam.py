@@ -75,6 +75,9 @@ def build_parser():
                         "correspondence distance in meters (healthy "
                         "consecutive matches sit at mm-cm)")
     p.add_argument("--map_path", type=str, default="online_map.png")
+    p.add_argument("--export_ros_map", type=str, default=None, metavar="STEM",
+                   help="also export the final causal map as ROS map_server "
+                        "STEM.pgm + STEM.yaml (nav2/AMCL-consumable)")
     p.add_argument("--poses_path", type=str, default=None,
                    help="save the streamed pose track (.npy)")
     p.add_argument("--localize", type=str, default=None, metavar="MAP.npy",
@@ -358,6 +361,11 @@ def main(argv=None):
     img = occupancy.render_logodds(st.logodds)
     write_png(args.map_path, img)
     print(f"causal map -> {args.map_path}", file=sys.stderr)
+    if args.export_ros_map:
+        from lidar_slam_tpu.utils import export
+        pgm, yml = export.save_map_ros(np.asarray(st.logodds), cfg.map,
+                                       args.export_ros_map)
+        print(f"ROS map_server map -> {pgm} + {yml}", file=sys.stderr)
 
 
 if __name__ == "__main__":
