@@ -183,10 +183,9 @@ def pack_frame_batch(disp: np.ndarray, rgb: np.ndarray,
         np.ascontiguousarray(poses, np.float32).view(np.uint8).ravel()])
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def paint_cells(winner: jnp.ndarray, cell_color: jnp.ndarray,
-                lin: jnp.ndarray, colors: jnp.ndarray,
-                base_index) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _paint_cells_impl(winner: jnp.ndarray, cell_color: jnp.ndarray,
+                      lin: jnp.ndarray, colors: jnp.ndarray,
+                      base_index) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scatter-max global point sequence numbers into the cell-winner map
     and fold this batch's winning colors into the per-cell color array.
 
@@ -206,6 +205,32 @@ def paint_cells(winner: jnp.ndarray, cell_color: jnp.ndarray,
     return winner_new, cell_color
 
 
+paint_cells = partial(jax.jit, donate_argnums=(0, 1))(_paint_cells_impl)
+
+
+def _pad_paint_ops(cells: np.ndarray, colors: np.ndarray,
+                   min_pad: int = 4096) -> np.ndarray:
+    """Pack variable-count paint ops into a (2, PAD) int32 buffer, PAD the
+    next power of two (so the jitted paint sees a handful of static shapes
+    across a whole run instead of one compile per batch). Padding rows
+    carry cell = -1, which the scatter-max ignores."""
+    m = len(cells)
+    pad = max(min_pad, 1 << (m - 1).bit_length()) if m else min_pad
+    out = np.full((2, pad), -1, np.int32)
+    out[0, :m] = cells
+    out[1, :m] = colors
+    return out
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def paint_ops(winner: jnp.ndarray, cell_color: jnp.ndarray,
+              ops: jnp.ndarray, base_index) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """paint_cells over a (2, PAD) packed paint-op buffer (row 0 cells,
+    row 1 colors; padding cells are -1) — the device half of the native
+    host-projector path."""
+    return _paint_cells_impl(winner, cell_color, ops[0], ops[1], base_index)
+
+
 def generate_texture_map(
     poses: np.ndarray,
     rgb_pose_indices: np.ndarray,
@@ -216,6 +241,7 @@ def generate_texture_map(
     cam_cfg: CameraConfig = CameraConfig(),
     batch_size: int = 16,
     dtype=jnp.float32,
+    projector: str = "device",
 ) -> np.ndarray:
     """Build the texture map.
 
@@ -237,8 +263,26 @@ def generate_texture_map(
     batch (pack_frame_batch / frames_to_cells_packed): minimum bytes
     (5 B/pixel) at one transfer-latency per batch. The float-disparity
     path (f64 oracle validation) keeps separate uploads.
+
+    projector selects where the unproject chain runs:
+      - "device" (default): raw sensor bytes upload, chain on the TPU —
+        the bit-parity oracle engine; on an attached host its upload cost
+        vanishes into PCIe.
+      - "native": the C++ host projector (native.project_frames) reduces
+        each frame to its last-writer-wins (cell, color) paint ops and
+        uploads ONLY those (~100x fewer bytes) — the thin-link engine: on
+        the tunneled device it turns the stage from upload-bound into
+        host-compute-bound. Requires integer disparity + the native lib.
+      - "auto": "native" when available and the loader yields integer
+        disparity, else "device".
+    Both engines feed the SAME device-side scatter-max fold (paint_cells),
+    and agree exactly on the committed test scenes (tests/test_texture.py
+    cross-engine equality); they may differ on measure-zero cell-boundary
+    pixels (f32 device chain vs the reference's f64 host dtype flow).
     """
     from concurrent.futures import ThreadPoolExecutor
+
+    from ..utils import native as native_mod
 
     W, Hn = map_cfg.width, map_cfg.height
     winner = jnp.full((W * Hn,), -1, dtype=jnp.int32)
@@ -247,27 +291,46 @@ def generate_texture_map(
     F = len(rgb_pose_indices)
     starts = list(range(0, F, batch_size))
 
+    if projector not in ("device", "native", "auto"):
+        raise ValueError(f"unknown projector {projector!r}")
+    use_native = projector in ("native", "auto") and native_mod.available()
+    if projector == "native" and not native_mod.available():
+        raise RuntimeError("projector='native' needs the native library "
+                           "(run `make -C native`)")
+
     def prep(s):
         ids = np.arange(s, min(s + batch_size, F))
         disp, rgb = load_frame_batch(ids)
-        pb = np.asarray(poses[rgb_pose_indices[ids]], dtype)
         hw = disp.shape[1:]
+        if use_native and np.issubdtype(disp.dtype, np.integer):
+            # paint-op path: host C++ projection, upload only the winners
+            cells, colors = native_mod.project_frames(
+                disp, rgb, poses[rgb_pose_indices[ids]], cam_cfg, map_cfg)
+            return ("ops", jax.device_put(_pad_paint_ops(cells, colors)),
+                    ids, hw)
+        pb = np.asarray(poses[rgb_pose_indices[ids]], dtype)
         if (np.issubdtype(disp.dtype, np.integer)
                 and jnp.dtype(dtype) == jnp.float32):
-            # production path: raw sensor bytes, one upload per batch
-            return jax.device_put(pack_frame_batch(disp, rgb, pb)), ids, hw
+            # raw-bytes device path: one packed upload per batch
+            return ("packed", jax.device_put(pack_frame_batch(disp, rgb, pb)),
+                    ids, hw)
         # oracle path (caller-chosen compute dtype, e.g. f64)
-        return ((jax.device_put(np.asarray(disp, dtype)),
-                 jax.device_put(np.asarray(rgb)), jax.device_put(pb)),
+        return ("raw", (jax.device_put(np.asarray(disp, dtype)),
+                        jax.device_put(np.asarray(rgb)), jax.device_put(pb)),
                 ids, hw)
 
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(prep, starts[0]) if starts else None
         for i, s in enumerate(starts):
-            batch_d, ids, hw = fut.result()
+            kind, batch_d, ids, hw = fut.result()
             if i + 1 < len(starts):
                 fut = ex.submit(prep, starts[i + 1])
-            if isinstance(batch_d, tuple):
+            if kind == "ops":
+                winner, cell_color = paint_ops(winner, cell_color, batch_d,
+                                               jnp.int32(base))
+                base += int(batch_d.shape[1])
+                continue
+            if kind == "raw":
                 lin, colors, ok = frames_to_cells(*batch_d, map_cfg,
                                                   cam_cfg)
             else:

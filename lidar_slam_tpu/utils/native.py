@@ -97,6 +97,14 @@ def _bind(path: str) -> Optional[ctypes.CDLL]:
                                       ctypes.c_int, ctypes.c_float,
                                       ctypes.c_int, ctypes.c_void_p]
         lib.slamio_dbscan.restype = ctypes.c_int
+        lib.slamio_project_frames.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_int]
+        lib.slamio_project_frames.restype = ctypes.c_int
         return lib
     except (OSError, AttributeError):
         # OSError: dlopen failure; AttributeError: missing export (stale .so).
@@ -219,6 +227,62 @@ def kdtree_query(target: np.ndarray, queries: np.ndarray
     finally:
         lib.slamio_kdtree_free(handle)
     return idx, d2
+
+
+def project_frames(disp: np.ndarray, rgb: np.ndarray, poses: np.ndarray,
+                   cam_cfg, map_cfg, n_threads: int = 2
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Project a batch of RGB-D frames to last-writer-wins paint ops.
+
+    The host half of the texture stage's paint-op path: runs the full
+    unproject chain (disparity -> depth -> registration -> K^-1 -> optical
+    -> camera -> robot -> world -> grid cell; reference:
+    modules/texture_mapping.py:134-224) in C++ double precision and returns
+    only each frame's final (cell, color) writes, concatenated in frame
+    order — typically ~100x fewer bytes than the raw sensor stream the
+    device path uploads. disp (B, H, W) uint16, rgb (B, H, W, 3) uint8,
+    poses (B, 3). Returns (cells (M,) int32 linear indices into the
+    width*height grid, colors (M,) int32 packed r|g<<8|b<<16); the device
+    folds them with the same scatter-max as the raw path
+    (models/texture.py paint_cells).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run `make -C native`)")
+    disp = np.ascontiguousarray(disp, dtype=np.uint16)
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    poses = np.ascontiguousarray(poses, dtype=np.float64)
+    B, H, W = disp.shape
+    if rgb.shape != (B, H, W, 3) or poses.shape != (B, 3):
+        raise ValueError(
+            f"shape mismatch: disp {disp.shape}, rgb {rgb.shape}, "
+            f"poses {poses.shape}")
+    cam16 = np.array([
+        cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy, cam_cfg.pitch_deg,
+        cam_cfg.p_rc[0], cam_cfg.p_rc[1], cam_cfg.p_rc[2],
+        cam_cfg.disp_a, cam_cfg.disp_b, cam_cfg.depth_scale,
+        cam_cfg.reg_scale, cam_cfg.reg_i_off, cam_cfg.reg_dd,
+        cam_cfg.reg_j_off, cam_cfg.reg_div], dtype=np.float64)
+    cap = B * H * W
+    cells = np.empty(cap, dtype=np.int32)
+    colors = np.empty(cap, dtype=np.int32)
+    counts = np.empty(B, dtype=np.int32)
+    total = lib.slamio_project_frames(
+        disp.ctypes.data_as(ctypes.c_void_p),
+        rgb.ctypes.data_as(ctypes.c_void_p),
+        poses.ctypes.data_as(ctypes.c_void_p), B, H, W,
+        cam16.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_double(map_cfg.world_min_x),
+        ctypes.c_double(map_cfg.world_min_y),
+        ctypes.c_double(map_cfg.resolution),
+        map_cfg.width, map_cfg.height,
+        cells.ctypes.data_as(ctypes.c_void_p),
+        colors.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_longlong(cap), n_threads)
+    if total < 0:
+        raise RuntimeError("project_frames overflowed its output capacity")
+    return cells[:total].copy(), colors[:total].copy()
 
 
 def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:

@@ -299,9 +299,12 @@ def _generate_maps(args, cfg, result, lidar, encoder, kinect,
         print("(no RGBD frames for synthetic data; skipping texture)")
     else:
         loader = texture.disk_frame_loader(dataset_num, disp_for_rgb)
+        # projector="auto": the C++ host projector uploads only paint ops
+        # (~100x fewer bytes — the thin-link engine), falling back to the
+        # on-device chain when the native library is absent
         tex = texture.generate_texture_map(
             result.poses, rgb_pose_idx, disp_for_rgb, result.grid_map,
-            loader, cfg.map, cfg.camera)
+            loader, cfg.map, cfg.camera, projector="auto")
         texture.plot_texture_map(tex, texture_map_path)
         print(f"Texture map saved at: {texture_map_path}")
 

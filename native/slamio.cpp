@@ -10,6 +10,7 @@
 #include <png.h>
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -229,6 +230,181 @@ int slamio_dbscan(const float* pts, int n, int dims, float eps,
     }
   }
   return next_label;
+}
+
+// ---------------------------------------------------------------------------
+// RGB-D frame projection — the host-side paint-op compressor for the texture
+// stage (lidar_slam_tpu/models/texture.py). The device path uploads raw
+// sensor bytes (1.54 MB/frame) and runs the unproject chain on the TPU; over
+// a thin host<->device link that upload IS the stage (PERF.md: 33.9 ms/frame
+// hard byte floor on the tunnel). This projector runs the identical chain
+// (reference: modules/texture_mapping.py:134-224) on the host in double
+// precision and emits only the per-frame LAST-WRITER-WINS (cell, color)
+// paint ops — typically ~100x fewer bytes — which the device folds with the
+// same scatter-max it uses for the raw path. Dtype flow mirrors the
+// reference numpy code: disparity->depth in float32 (the reference casts
+// disparity to f32, texture_mapping.py:130-141, and numpy keeps python-float
+// scalar ops in the array dtype), everything downstream in float64.
+// ---------------------------------------------------------------------------
+
+// cam16: [fx, fy, cx, cy, pitch_deg, p_rc0, p_rc1, p_rc2, disp_a, disp_b,
+//         depth_scale, reg_scale, reg_i_off, reg_dd, reg_j_off, reg_div]
+// Emits, per frame f, counts[f] unique (cell, packed r|g<<8|b<<16) pairs in
+// first-touch order (within a frame each cell appears once, so any order
+// reproduces the frame's final writes); frames are emitted in order, so a
+// device scatter-max of global sequence numbers reproduces the reference's
+// cross-frame last-writer-wins exactly. Returns the total pair count, or -1
+// when `cap` would overflow (caller sizes cap = B*H*W, the true upper bound).
+int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
+                          const double* poses, int B, int H, int W,
+                          const double* cam16, double min_x, double min_y,
+                          double res, int grid_w, int grid_h,
+                          int32_t* out_cells, int32_t* out_colors,
+                          int32_t* out_counts, long long cap,
+                          int n_threads) {
+  const double fx = cam16[0], fy = cam16[1], cx = cam16[2], cy = cam16[3];
+  const double pitch = cam16[4] * 3.141592653589793 / 180.0;
+  const double prc0 = cam16[5], prc1 = cam16[6];  // p_rc z unused in 2-D grid
+  const float disp_a = (float)cam16[8], disp_b = (float)cam16[9];
+  const float depth_scale = (float)cam16[10];
+  const double reg_scale = cam16[11], reg_i_off = cam16[12];
+  const double reg_dd = cam16[13], reg_j_off = cam16[14], reg_div = cam16[15];
+  const double inv_reg_div = 1.0 / reg_div;
+  const double inv_res = 1.0 / res;
+  // K^-1 analytic (K upper triangular): ray = ((j - cx)/fx, (i - cy)/fy, 1)
+  const double ki00 = 1.0 / fx, ki02 = -cx / fx;
+  const double ki11 = 1.0 / fy, ki12 = -cy / fy;
+  const double cp = std::cos(pitch), sp = std::sin(pitch);
+
+  // disparity-indexed tables: depth and the f32 reg_dd*depth product depend
+  // only on the uint16 disparity value — 64K entries amortize the per-pixel
+  // f32 divide away (reference dtype flow: disparity -> depth in float32,
+  // texture_mapping.py:130-141)
+  std::vector<double> tbl_depth(65536), tbl_regdd(65536);
+  for (int d = 0; d < 65536; ++d) {
+    float dd = disp_a * (float)d + disp_b;
+    float depth_f = depth_scale / dd;
+    tbl_depth[d] = (double)depth_f;
+    tbl_regdd[d] = (double)((float)reg_dd * depth_f);
+  }
+  // column tables: registered-RGB column and the optical-x ray slope are
+  // functions of j alone
+  std::vector<double> u_col(W);
+  std::vector<int32_t> vj_col(W);
+  std::vector<uint8_t> colok(W);
+  for (int j = 0; j < W; ++j) {
+    u_col[j] = j * ki00 + ki02;
+    double rgbj = (reg_scale * j + reg_j_off) / reg_div;
+    colok[j] = (rgbj >= 0.0 && rgbj < W) ? 1 : 0;
+    int vj = colok[j] ? (int)rgbj : 0;
+    vj_col[j] = vj > W - 1 ? W - 1 : vj;
+  }
+
+  // per-frame dedupe slots, versioned by frame tag so they reset for free
+  const long long ncells = (long long)grid_w * grid_h;
+
+  std::vector<long long> frame_count(B, 0);
+  std::vector<std::vector<int32_t>> frame_cells(B), frame_colors(B);
+
+  std::vector<std::thread> pool;
+  std::vector<int> next(1, 0);
+  std::mutex m;
+  auto worker = [&]() {
+    // first pass per frame writes colors into color_slot[cell]; `seen`
+    // carries the frame tag of the last write so no O(ncells) clear is
+    // needed per frame
+    std::vector<int32_t> seen(ncells, -1), color_slot(ncells);
+    std::vector<int32_t> touched;
+    std::vector<int32_t> cell_row(W), vi_row(W);
+    std::vector<double> Bu(W), Eu(W);
+    for (;;) {
+      int f;
+      {
+        std::lock_guard<std::mutex> lk(m);
+        if (next[0] >= B) return;
+        f = next[0]++;
+      }
+      touched.clear();
+      const uint16_t* dframe = disp + (size_t)f * H * W;
+      const uint8_t* rframe = rgb + (size_t)f * H * W * 3;
+      const double px = poses[3 * f], py = poses[3 * f + 1];
+      const double yaw = poses[3 * f + 2];
+      const double cyw = std::cos(yaw), syw = std::sin(yaw);
+      // hoisted frame constants: the optical->camera->robot->world chain
+      // collapses to  xw = depth*(A_i + Bu_j) + Cx,  yw = depth*(D_i + Eu_j)
+      // + Cy  with A/D functions of the row and Bu/Eu of the column
+      // (optical->camera is the fixed axis permutation R_oc^T; camera->robot
+      // the pitch rotation + p_rc; robot->world the pose yaw + translation)
+      const double Cx = cyw * prc0 - syw * prc1 + px;
+      const double Cy = syw * prc0 + cyw * prc1 + py;
+      for (int j = 0; j < W; ++j) {
+        Bu[j] = syw * u_col[j];
+        Eu[j] = -cyw * u_col[j];
+      }
+      for (int i = 0; i < H; ++i) {
+        const double v_i = i * ki11 + ki12;      // optical-y ray slope
+        const double rx_i = cp - sp * v_i;       // robot-x per unit depth
+        const double A_i = cyw * rx_i, D_i = syw * rx_i;
+        const double rowterm = reg_scale * i + reg_i_off;
+        const uint16_t* drow = dframe + (size_t)i * W;
+        // vector pass: pure per-pixel math, branchless, autovectorizable
+        for (int j = 0; j < W; ++j) {
+          double depth = tbl_depth[drow[j]];
+          // registered RGB row (depth passed into the dd slot — reference
+          // quirk, texture_mapping.py:198)
+          double rgbi = (rowterm - tbl_regdd[drow[j]]) * inv_reg_div;
+          double xw = depth * (A_i + Bu[j]) + Cx;
+          double yw = depth * (D_i + Eu[j]) + Cy;
+          double gi = std::ceil((xw - min_x) * inv_res) - 1.0;
+          double gj = std::ceil((yw - min_y) * inv_res) - 1.0;
+          // NaN/inf depth (dd <= 0) fails every comparison, like numpy
+          bool ok = bool(colok[j]) & (rgbi >= 0.0) & (rgbi < H) &
+                    (gi >= 0.0) & (gi < grid_w) & (gj >= 0.0) & (gj < grid_h);
+          cell_row[j] = ok ? (int32_t)gi * grid_h + (int32_t)gj : -1;
+          // registered source pixel (trunc == astype(int); gated by ok)
+          vi_row[j] = (int32_t)rgbi * W + vj_col[j];
+        }
+        // scalar pass: per-frame last-writer-wins dedupe; the winning
+        // SOURCE PIXEL index is recorded and its color fetched once per
+        // touched cell at frame end (~100x fewer gathers than per-pixel)
+        for (int j = 0; j < W; ++j) {
+          int32_t cell = cell_row[j];
+          if (cell < 0) continue;
+          if (seen[cell] != f) {
+            seen[cell] = f;
+            touched.push_back(cell);
+          }
+          color_slot[cell] = vi_row[j];  // later pixels overwrite
+        }
+      }
+      frame_count[f] = (long long)touched.size();
+      frame_cells[f].assign(touched.begin(), touched.end());
+      frame_colors[f].resize(touched.size());
+      for (size_t k = 0; k < touched.size(); ++k) {
+        const uint8_t* c = rframe + (size_t)color_slot[touched[k]] * 3;
+        frame_colors[f][k] = (int32_t)c[0] | ((int32_t)c[1] << 8) |
+                             ((int32_t)c[2] << 16);
+      }
+    }
+  };
+  int nt = n_threads > 0 ? n_threads : 1;
+  if (nt > B) nt = B;
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+
+  long long total = 0;
+  for (int f = 0; f < B; ++f) total += frame_count[f];
+  if (total > cap) return -1;
+  long long off = 0;
+  for (int f = 0; f < B; ++f) {
+    out_counts[f] = (int32_t)frame_count[f];
+    std::memcpy(out_cells + off, frame_cells[f].data(),
+                frame_count[f] * sizeof(int32_t));
+    std::memcpy(out_colors + off, frame_colors[f].data(),
+                frame_count[f] * sizeof(int32_t));
+    off += frame_count[f];
+  }
+  return (int)total;
 }
 
 int slamio_read_png_info(const char* path, int* width, int* height,

@@ -211,3 +211,73 @@ def test_generate_texture_packed_vs_float_loader():
         lambda ids: (disp_i[ids].astype(np.float32), rgb[ids]),
         map_cfg, CameraConfig(), batch_size=3)
     np.testing.assert_array_equal(tex_i, tex_f)
+
+
+def test_native_projector_matches_spec():
+    """The C++ host projector (paint-op path) against the independent
+    numpy spec model — same last-writer-wins texture as the reference
+    chain (reference: modules/texture_mapping.py:7-99,134-224)."""
+    from lidar_slam_tpu.utils import native
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(21)
+    map_cfg = MapConfig(resolution=0.1, world_max_x=8, world_min_x=-8,
+                        world_max_y=8, world_min_y=-8)
+    cam = CameraConfig()
+    n = 5
+    disp = rng.integers(300, 900, (n, 24, 32)).astype(np.uint16)
+    rgb = rng.integers(0, 255, (n, 24, 32, 3)).astype(np.uint8)
+    poses = rng.normal(0, 1.0, (10, 3))
+    rgb_pose = np.array([1, 3, 5, 7, 9])
+    grid = rng.integers(0, 2, (map_cfg.width, map_cfg.height)).astype(np.uint8)
+    loader = lambda ids: (disp[ids], rgb[ids])
+
+    got = texture.generate_texture_map(
+        poses, rgb_pose, np.arange(n), grid, loader, map_cfg, cam,
+        batch_size=2, projector="native")
+    want = _np_texture_reference(poses, rgb_pose, disp, rgb, grid,
+                                 map_cfg, cam)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # cross-engine: the device (f32 on-device chain) and native (f64 host
+    # chain) engines agree exactly on this scene
+    dev = texture.generate_texture_map(
+        poses, rgb_pose, np.arange(n), grid, loader, map_cfg, cam,
+        batch_size=2, projector="device")
+    np.testing.assert_array_equal(got, dev)
+
+
+def test_native_project_frames_last_writer_wins():
+    """Unit semantics of native.project_frames: within a frame each cell
+    appears once carrying its LAST pixel's color; frames concatenate in
+    order (the device scatter-max then makes later frames win)."""
+    from lidar_slam_tpu.utils import native
+    if not native.available():
+        pytest.skip("native library not built")
+    cam = CameraConfig()
+    map_cfg = MapConfig(resolution=0.5, world_max_x=8, world_min_x=-8,
+                        world_max_y=8, world_min_y=-8)
+    # constant disparity -> every pixel shares one depth; a tiny 2x2 frame
+    # projects to few cells with known duplicate structure
+    disp = np.full((2, 2, 2), 600, np.uint16)
+    rgb = np.arange(2 * 2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 2, 3)
+    poses = np.zeros((2, 3))
+    cells, colors = native.project_frames(disp, rgb, poses, cam, map_cfg)
+    # both frames identical geometry: same cells, split evenly
+    assert len(cells) % 2 == 0
+    half = len(cells) // 2
+    np.testing.assert_array_equal(cells[:half], cells[half:])
+    assert (cells >= 0).all()
+    # colors are valid packed uint8 triples
+    assert (colors >= 0).all() and (colors < (1 << 24)).all()
+
+
+def test_pad_paint_ops_buckets():
+    c = np.arange(5, dtype=np.int32)
+    ops = texture._pad_paint_ops(c, c, min_pad=4)
+    assert ops.shape == (2, 8)
+    np.testing.assert_array_equal(ops[0, :5], c)
+    assert (ops[0, 5:] == -1).all()
+    assert texture._pad_paint_ops(np.array([], np.int32),
+                                  np.array([], np.int32),
+                                  min_pad=4).shape == (2, 4)
