@@ -411,37 +411,65 @@ def main():
         texture_mod.generate_texture_map(
             tex_poses[:23], np.arange(23), np.arange(23), tex_grid,
             tex_loader, cfg.map, cfg.camera, batch_size=16)
-        log(f"texture stage ({N_RGB_FRAMES} frames, batch 16, packed "
+        # device (raw-bytes) engine: a 768-frame sustained leg — long
+        # enough to amortize the stream start (PERF.md round 4 measured
+        # 33.2-33.8 ms/frame sustained over the full 2,407; the full leg
+        # is not re-paid every round now that the production engine is
+        # the native projector below). Up to two attempts: >1.3x the
+        # measured byte floor means a tunnel stall, not the code.
+        n_dev = 768
+        log(f"texture device engine ({n_dev} frames, batch 16, packed "
             "upload)...")
-        # up to two attempts: a multi-second tunnel stall inside the
-        # ~80-160 s leg would otherwise pollute the recorded number (the
-        # stage measured AT the link floor when the link held steady —
-        # PERF.md round 4); >1.3x the measured byte floor means a stall,
-        # not the code, so one retry is cheap insurance
-        texture_s = None
+        dev_ms = None
         for attempt in range(2):
             t0 = time.time()
             texture_mod.generate_texture_map(
-                tex_poses, frame_ids, frame_ids, tex_grid, tex_loader,
-                cfg.map, cfg.camera, batch_size=16)
-            leg = time.time() - t0
-            texture_s = leg if texture_s is None else min(texture_s, leg)
-            if leg / N_RGB_FRAMES * 1e3 <= 1.3 * floor_ms:
+                tex_poses[:n_dev], frame_ids[:n_dev], frame_ids[:n_dev],
+                tex_grid, tex_loader, cfg.map, cfg.camera, batch_size=16)
+            leg = (time.time() - t0) / n_dev * 1e3
+            dev_ms = leg if dev_ms is None else min(dev_ms, leg)
+            if leg <= 1.3 * floor_ms:
                 break
             if attempt == 0:
-                log(f"texture leg {leg:.1f}s is "
-                    f"{leg / N_RGB_FRAMES * 1e3 / floor_ms:.2f}x the "
-                    "measured link floor — retrying once (stall suspected)")
-        stages["texture_s"] = round(texture_s, 3)
-        util["texture_ms_per_frame"] = round(texture_s * 1e3
-                                             / N_RGB_FRAMES, 1)
-        util["texture_vs_link_floor"] = round(
-            util["texture_ms_per_frame"] / floor_ms, 2)
-        log(f"texture stage: {texture_s:.1f}s "
-            f"({util['texture_ms_per_frame']:.1f} ms/frame = "
-            f"{util['texture_vs_link_floor']:.2f}x the measured link floor; "
+                log(f"texture device leg at {leg:.1f} ms/frame is "
+                    f"{leg / floor_ms:.2f}x the measured link floor — "
+                    "retrying once (stall suspected)")
+        texture_s = dev_ms * N_RGB_FRAMES / 1e3  # full-scale equivalent
+        util["texture_device_ms_per_frame"] = round(dev_ms, 1)
+        util["texture_vs_link_floor"] = round(dev_ms / floor_ms, 2)
+        log(f"texture device engine: {dev_ms:.1f} ms/frame = "
+            f"{util['texture_vs_link_floor']:.2f}x the measured link floor "
+            f"({texture_s:.1f}s at dataset scale; "
             f"reference {TEXTURE_BASELINE_S:.0f}s = "
             f"{TEXTURE_BASELINE_S / texture_s:.1f}x)")
+
+        # production engine (main.py projector="auto"): the C++ host
+        # projector reduces each frame to its last-writer-wins paint ops
+        # and uploads ONLY those (~3 KB/frame vs 1.54 MB/frame) — the
+        # stage leaves the link wall entirely and becomes host-compute
+        # bound (native/slamio.cpp slamio_project_frames). The device-path
+        # leg above is kept as the oracle-engine row (and the engine an
+        # attached-PCIe host would pick).
+        from lidar_slam_tpu.utils import native as native_mod
+        if native_mod.available():
+            log(f"texture stage ({N_RGB_FRAMES} frames, native paint-op "
+                "projector)...")
+            t0 = time.time()
+            texture_mod.generate_texture_map(
+                tex_poses, frame_ids, frame_ids, tex_grid, tex_loader,
+                cfg.map, cfg.camera, batch_size=16, projector="native")
+            tex_native_s = time.time() - t0
+            if tex_native_s < texture_s:
+                texture_s = tex_native_s
+            stages["texture_s"] = round(tex_native_s, 3)
+            util["texture_ms_per_frame"] = round(
+                tex_native_s * 1e3 / N_RGB_FRAMES, 2)
+            log(f"texture stage (paint-op engine): {tex_native_s:.1f}s "
+                f"({util['texture_ms_per_frame']:.2f} ms/frame; reference "
+                f"{TEXTURE_BASELINE_S:.0f}s = "
+                f"{TEXTURE_BASELINE_S / tex_native_s:.1f}x)")
+        else:
+            stages["texture_s"] = round(texture_s, 3)
 
     pairs_per_s = (N_STEPS - 1) / elapsed  # headline convenience numbers
     log(f"e2e {elapsed:.2f}s | {pairs_per_s:.0f} scan-pairs/s equivalent | "
@@ -476,9 +504,9 @@ def main():
         }
         log(f"superset (core+filter+texture): {sup:.1f}s vs reference "
             f"{sup_base:.0f}s = {sup_base / sup:.1f}x "
-            f"(texture is tunnel-upload-bound at 1.54 MB/frame / "
-            f"{util.get('link_MBps', '~45')} MB/s measured; an "
-            "attached-host deployment removes that wall)")
+            "(texture via the native paint-op projector when built — "
+            "host-compute-bound; the raw-bytes device engine rides the "
+            f"link at {util.get('link_MBps', '~45')} MB/s measured)")
     print(json.dumps(out))
 
 

@@ -316,7 +316,7 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
     std::vector<int32_t> seen(ncells, -1), color_slot(ncells);
     std::vector<int32_t> touched;
     std::vector<int32_t> cell_row(W), vi_row(W);
-    std::vector<double> Bu(W), Eu(W);
+    std::vector<double> Bu(W), Eu(W), depth_row(W), regdd_row(W);
     for (;;) {
       int f;
       {
@@ -347,12 +347,18 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
         const double A_i = cyw * rx_i, D_i = syw * rx_i;
         const double rowterm = reg_scale * i + reg_i_off;
         const uint16_t* drow = dframe + (size_t)i * W;
+        // scalar table pre-pass (data-dependent loads block the
+        // autovectorizer; isolated here they are ~2 cycles each)
+        for (int j = 0; j < W; ++j) {
+          depth_row[j] = tbl_depth[drow[j]];
+          regdd_row[j] = tbl_regdd[drow[j]];
+        }
         // vector pass: pure per-pixel math, branchless, autovectorizable
         for (int j = 0; j < W; ++j) {
-          double depth = tbl_depth[drow[j]];
+          double depth = depth_row[j];
           // registered RGB row (depth passed into the dd slot — reference
           // quirk, texture_mapping.py:198)
-          double rgbi = (rowterm - tbl_regdd[drow[j]]) * inv_reg_div;
+          double rgbi = (rowterm - regdd_row[j]) * inv_reg_div;
           double xw = depth * (A_i + Bu[j]) + Cx;
           double yw = depth * (D_i + Eu[j]) + Cy;
           double gi = std::ceil((xw - min_x) * inv_res) - 1.0;
