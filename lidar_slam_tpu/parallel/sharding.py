@@ -251,6 +251,61 @@ def sharded_texture_paint(mesh: Mesh, map_cfg: MapConfig, cam_cfg,
     return paint
 
 
+def sharded_paint_ops(mesh: Mesh, map_cfg: MapConfig, axis: str = "dp"):
+    """Return a jitted painter sharding a PAINT-OP stream over `axis`.
+
+    Multi-chip half of the texture stage's paint-op engine (the native
+    host projector, models/texture.py projector="native"): the host emits
+    per-frame last-writer-wins (cell, color) ops; here the op stream
+    splits across devices, each scatter-maxes its slice locally, and the
+    slices combine exactly with the same pmax-winner / psum-color-select
+    as sharded_texture_paint (sequence numbers are globally unique, so
+    exactly one device holds each cell's winning color).
+
+    Returned fn(winner, cell_color, ops, base): winner/cell_color (W*H,)
+    int32 replicated carries; ops (2, PAD) int32 (row 0 cells with -1
+    padding, row 1 colors; PAD must be a multiple of the axis size, in
+    frame order so later ops win); base = global sequence number of op 0.
+    """
+    n_dev = mesh.shape[axis]
+    ncells = map_cfg.width * map_cfg.height
+
+    @jax.jit
+    def paint(winner, cell_color, ops, base):
+        if ops.shape[1] % n_dev:
+            raise ValueError(f"op stream length {ops.shape[1]} is not "
+                             f"divisible by the {n_dev}-way '{axis}' axis")
+        pad_local = ops.shape[1] // n_dev
+
+        def shard_fn(ops_l):
+            lin, colors = ops_l[0], ops_l[1]
+            base_l = base + jax.lax.axis_index(axis) * pad_local
+            seq = base_l + jnp.arange(pad_local, dtype=jnp.int32)
+            upd = jnp.where(lin >= 0, seq, -1)
+            safe = jnp.where(lin >= 0, lin, 0)
+            local_w = jnp.full((ncells,), -1, jnp.int32).at[safe].max(upd)
+            local_c = jnp.where(
+                local_w >= 0,
+                jnp.take(colors, jnp.clip(local_w - base_l, 0,
+                                          pad_local - 1)),
+                0)
+            wmax = jax.lax.pmax(local_w, axis)
+            sel = (local_w == wmax) & (wmax >= 0)
+            cmax = jax.lax.psum(jnp.where(sel, local_c, 0), axis)
+            return wmax, cmax
+
+        wmax, cmax = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(None, axis),),
+            out_specs=(P(), P()),
+        )(ops)
+        winner_new = jnp.maximum(winner, wmax)
+        cell_color = jnp.where(winner_new > winner, cmax, cell_color)
+        return winner_new, cell_color
+
+    return paint
+
+
 def sharded_reloc_score(mesh: Mesh, axis: str = "dp"):
     """Return a node-sharded scoring kernel for global relocalization
     (signature of relocalization._score_nodes: (pool, base_i, base_j,

@@ -447,3 +447,46 @@ def test_sharded_reloc_score_bitwise_search_equality():
     assert float(base.score) == float(sharded.score)
     assert bool(base.certified) == bool(sharded.certified)
     assert float(base.pruned_margin) == float(sharded.pruned_margin)
+
+
+def test_sharded_paint_ops_matches_sequential():
+    """The op-stream shard of the paint-op engine (native host projector)
+    equals the sequential paint bit-for-bit, including across batches and
+    with padding ops."""
+    from lidar_slam_tpu.config import CameraConfig
+    from lidar_slam_tpu.models import texture
+    from lidar_slam_tpu.utils import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    cfg = MapConfig(resolution=0.2, world_max_x=6, world_min_x=-6,
+                    world_max_y=6, world_min_y=-6)
+    cam = CameraConfig()
+    rng = np.random.default_rng(11)
+    B, H, W = 16, 24, 32
+    disp = rng.integers(300, 900, (B, H, W)).astype(np.uint16)
+    rgb = rng.integers(0, 256, (B, H, W, 3)).astype(np.uint8)
+    poses = rng.normal(0, 0.8, (B, 3)).astype(np.float64)
+
+    cells_n = cfg.width * cfg.height
+    m = mesh_lib.make_mesh(8)
+    paint8 = sharding.sharded_paint_ops(m, cfg)
+
+    # separate carries: paint_ops donates its winner/color buffers
+    w1 = jnp.full((cells_n,), -1, jnp.int32)
+    c1 = jnp.zeros((cells_n,), jnp.int32)
+    w8 = jnp.full((cells_n,), -1, jnp.int32)
+    c8 = jnp.zeros((cells_n,), jnp.int32)
+    base = 0
+    for s in range(0, B, 8):
+        cells, colors = native.project_frames(
+            disp[s:s + 8], rgb[s:s + 8], poses[s:s + 8], cam, cfg)
+        ops = jnp.asarray(texture._pad_paint_ops(cells, colors, min_pad=64))
+        w1, c1 = texture.paint_ops(w1, c1, ops, jnp.int32(base))
+        w8, c8 = paint8(w8, c8, ops, jnp.int32(base))
+        base += int(ops.shape[1])
+
+    np.testing.assert_array_equal(np.asarray(w8), np.asarray(w1))
+    np.testing.assert_array_equal(np.asarray(c8), np.asarray(c1))
+    assert int(jnp.sum(w1 >= 0)) > 0

@@ -75,6 +75,27 @@ def main():
     print(f"extrapolated dataset-20 compute (2,407 frames): "
           f"{per_frame * 2407:.1f}s", file=sys.stderr)
 
+    # --- native paint-op projector (the thin-link production engine) ---
+    from lidar_slam_tpu.utils import native as native_lib
+    if native_lib.available() and not args.float32_disp:
+        timed_n = []
+        for seed, label in ((5, "warm-up"), (6, "timed"), (7, "timed2")):
+            disp, rgb = synth_frames(seed, F)
+            loader = lambda ids: (disp[ids], rgb[ids])
+            t0 = time.time()
+            texture.generate_texture_map(
+                poses, np.arange(F), np.arange(F), grid_map, loader,
+                cfg.map, cfg.camera, batch_size=args.batch,
+                projector="native")
+            dt = time.time() - t0
+            if label != "warm-up":
+                timed_n.append(dt)
+            print(f"paint-op {label} [native projector, batch "
+                  f"{args.batch}]: {F} frames in {dt:.2f}s "
+                  f"({dt / F * 1e3:.1f} ms/frame)", file=sys.stderr)
+        print(f"extrapolated dataset-20 paint-op engine (2,407 frames): "
+              f"{min(timed_n) / F * 2407:.1f}s", file=sys.stderr)
+
     # --- native decode path (fabricated on-disk tree) ---
     from lidar_slam_tpu.utils import native
     from lidar_slam_tpu.utils.png import write_png
