@@ -294,6 +294,10 @@ def generate_texture_map(
     if projector not in ("device", "native", "auto"):
         raise ValueError(f"unknown projector {projector!r}")
     use_native = projector in ("native", "auto") and native_mod.available()
+    if projector == "auto" and jnp.dtype(dtype) != jnp.float32:
+        # an explicit compute dtype (e.g. the f64 oracle validation path)
+        # pins the on-device chain; only "native" overrides it
+        use_native = False
     if projector == "native" and not native_mod.available():
         raise RuntimeError("projector='native' needs the native library "
                            "(run `make -C native`)")
