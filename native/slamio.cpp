@@ -10,9 +10,11 @@
 #include <png.h>
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -280,12 +282,14 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
   // only on the uint16 disparity value — 64K entries amortize the per-pixel
   // f32 divide away (reference dtype flow: disparity -> depth in float32,
   // texture_mapping.py:130-141)
-  std::vector<double> tbl_depth(65536), tbl_regdd(65536);
+  // interleaved {depth, reg_dd*depth} pairs: one index computation and one
+  // cache line serve both per-pixel loads in the table pre-pass
+  std::vector<double> tbl(2 * 65536);
   for (int d = 0; d < 65536; ++d) {
     float dd = disp_a * (float)d + disp_b;
     float depth_f = depth_scale / dd;
-    tbl_depth[d] = (double)depth_f;
-    tbl_regdd[d] = (double)((float)reg_dd * depth_f);
+    tbl[2 * d] = (double)depth_f;
+    tbl[2 * d + 1] = (double)((float)reg_dd * depth_f);
   }
   // column tables: registered-RGB column and the optical-x ray slope are
   // functions of j alone
@@ -309,7 +313,19 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
   std::vector<std::thread> pool;
   std::vector<int> next(1, 0);
   std::mutex m;
+  // SLAMIO_PROFILE=1: accumulate per-phase seconds across all workers and
+  // print to stderr (perf instrumentation for tools/texture_host_profile)
+  const bool profile = std::getenv("SLAMIO_PROFILE") != nullptr;
+  double t_prepass = 0, t_vector = 0, t_dedupe = 0, t_color = 0;
   auto worker = [&]() {
+    using clk = std::chrono::steady_clock;
+    double w_prepass = 0, w_vector = 0, w_dedupe = 0, w_color = 0;
+    clk::time_point tp;
+    // local copies of the by-reference-captured scalars: a captured int
+    // lives in the closure frame, so int32 stores through the row pointers
+    // could alias it — which blocks the trip-count computation and keeps
+    // the hot loop scalar. Locals without their address taken cannot alias.
+    const int Wl = W, Hl = H, gw = grid_w, gh = grid_h;
     // first pass per frame writes colors into color_slot[cell]; `seen`
     // carries the frame tag of the last write so no O(ncells) clear is
     // needed per frame
@@ -321,12 +337,12 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
       int f;
       {
         std::lock_guard<std::mutex> lk(m);
-        if (next[0] >= B) return;
-        f = next[0]++;
+        if (next[0] >= B) break;  // break, not return: the profile
+        f = next[0]++;            // accumulators flush after the loop
       }
       touched.clear();
-      const uint16_t* dframe = disp + (size_t)f * H * W;
-      const uint8_t* rframe = rgb + (size_t)f * H * W * 3;
+      const uint16_t* dframe = disp + (size_t)f * Hl * Wl;
+      const uint8_t* rframe = rgb + (size_t)f * Hl * Wl * 3;
       const double px = poses[3 * f], py = poses[3 * f + 1];
       const double yaw = poses[3 * f + 2];
       const double cyw = std::cos(yaw), syw = std::sin(yaw);
@@ -337,24 +353,31 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
       // the pitch rotation + p_rc; robot->world the pose yaw + translation)
       const double Cx = cyw * prc0 - syw * prc1 + px;
       const double Cy = syw * prc0 + cyw * prc1 + py;
-      for (int j = 0; j < W; ++j) {
+      for (int j = 0; j < Wl; ++j) {
         Bu[j] = syw * u_col[j];
         Eu[j] = -cyw * u_col[j];
       }
-      for (int i = 0; i < H; ++i) {
+      for (int i = 0; i < Hl; ++i) {
         const double v_i = i * ki11 + ki12;      // optical-y ray slope
         const double rx_i = cp - sp * v_i;       // robot-x per unit depth
         const double A_i = cyw * rx_i, D_i = syw * rx_i;
         const double rowterm = reg_scale * i + reg_i_off;
-        const uint16_t* drow = dframe + (size_t)i * W;
+        const uint16_t* drow = dframe + (size_t)i * Wl;
+        if (profile) tp = clk::now();
         // scalar table pre-pass (data-dependent loads block the
         // autovectorizer; isolated here they are ~2 cycles each)
-        for (int j = 0; j < W; ++j) {
-          depth_row[j] = tbl_depth[drow[j]];
-          regdd_row[j] = tbl_regdd[drow[j]];
+        for (int j = 0; j < Wl; ++j) {
+          const double* e = &tbl[2 * (uint32_t)drow[j]];
+          depth_row[j] = e[0];
+          regdd_row[j] = e[1];
+        }
+        if (profile) {
+          auto t2 = clk::now();
+          w_prepass += std::chrono::duration<double>(t2 - tp).count();
+          tp = t2;
         }
         // vector pass: pure per-pixel math, branchless, autovectorizable
-        for (int j = 0; j < W; ++j) {
+        for (int j = 0; j < Wl; ++j) {
           double depth = depth_row[j];
           // registered RGB row (depth passed into the dd slot — reference
           // quirk, texture_mapping.py:198)
@@ -364,16 +387,28 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
           double gi = std::ceil((xw - min_x) * inv_res) - 1.0;
           double gj = std::ceil((yw - min_y) * inv_res) - 1.0;
           // NaN/inf depth (dd <= 0) fails every comparison, like numpy
-          bool ok = bool(colok[j]) & (rgbi >= 0.0) & (rgbi < H) &
-                    (gi >= 0.0) & (gi < grid_w) & (gj >= 0.0) & (gj < grid_h);
-          cell_row[j] = ok ? (int32_t)gi * grid_h + (int32_t)gj : -1;
+          bool ok = bool(colok[j]) & (rgbi >= 0.0) & (rgbi < Hl) &
+                    (gi >= 0.0) & (gi < gw) & (gj >= 0.0) & (gj < gh);
+          // select BEFORE the double->int32 casts: out-of-range/NaN
+          // conversion is UB in the abstract machine, and the unspeculable
+          // casts were also what kept this loop scalar (gcc cannot
+          // if-convert a trapping conversion; with the selects the casts
+          // are unconditionally in-range and the loop vectorizes)
+          double gis = ok ? gi : 0.0, gjs = ok ? gj : 0.0;
+          double ris = ok ? rgbi : 0.0;
+          cell_row[j] = ok ? (int32_t)gis * gh + (int32_t)gjs : -1;
           // registered source pixel (trunc == astype(int); gated by ok)
-          vi_row[j] = (int32_t)rgbi * W + vj_col[j];
+          vi_row[j] = (int32_t)ris * Wl + vj_col[j];
+        }
+        if (profile) {
+          auto t2 = clk::now();
+          w_vector += std::chrono::duration<double>(t2 - tp).count();
+          tp = t2;
         }
         // scalar pass: per-frame last-writer-wins dedupe; the winning
         // SOURCE PIXEL index is recorded and its color fetched once per
         // touched cell at frame end (~100x fewer gathers than per-pixel)
-        for (int j = 0; j < W; ++j) {
+        for (int j = 0; j < Wl; ++j) {
           int32_t cell = cell_row[j];
           if (cell < 0) continue;
           if (seen[cell] != f) {
@@ -382,7 +417,10 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
           }
           color_slot[cell] = vi_row[j];  // later pixels overwrite
         }
+        if (profile)
+          w_dedupe += std::chrono::duration<double>(clk::now() - tp).count();
       }
+      if (profile) tp = clk::now();
       frame_count[f] = (long long)touched.size();
       frame_cells[f].assign(touched.begin(), touched.end());
       frame_colors[f].resize(touched.size());
@@ -391,12 +429,29 @@ int slamio_project_frames(const uint16_t* disp, const uint8_t* rgb,
         frame_colors[f][k] = (int32_t)c[0] | ((int32_t)c[1] << 8) |
                              ((int32_t)c[2] << 16);
       }
+      if (profile)
+        w_color += std::chrono::duration<double>(clk::now() - tp).count();
+    }
+    if (profile) {
+      std::lock_guard<std::mutex> lk(m);
+      t_prepass += w_prepass;
+      t_vector += w_vector;
+      t_dedupe += w_dedupe;
+      t_color += w_color;
     }
   };
   int nt = n_threads > 0 ? n_threads : 1;
   if (nt > B) nt = B;
   for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
+  if (profile) {
+    double px = (double)B * H * W;
+    std::fprintf(stderr,
+                 "slamio_project_frames profile (ns/px over %d frames): "
+                 "prepass %.2f  vector %.2f  dedupe %.2f  color %.2f\n",
+                 B, t_prepass / px * 1e9, t_vector / px * 1e9,
+                 t_dedupe / px * 1e9, t_color / px * 1e9);
+  }
 
   long long total = 0;
   for (int f = 0; f < B; ++f) total += frame_count[f];
