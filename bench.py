@@ -387,24 +387,40 @@ def main():
         # and a constant-data floor mislabels an honest leg as a 3x
         # stall. Best-of-two rounds keeps one mid-probe stall from
         # deflating the floor.
+        # Probe validity (round-4 lesson): BENCH_r04 recorded rounds
+        # [30.0, 3.8] MB/s — a mid-probe stall — and then reported the
+        # device leg at 0.87x the "floor", i.e. faster than the claimed
+        # hard minimum, which proves the floor was wrong, not the engine
+        # fast. Now: >= 3 rounds, stall rejection (drop rounds > 2x below
+        # the best), the floor is the max sustained rate, and a leg ratio
+        # below 0.95 is flagged probe-invalid downstream instead of being
+        # quoted as a ratio.
         probe_mb = 24
         probe_rng = np.random.default_rng(7)
         probe_bufs = [probe_rng.integers(0, 256, probe_mb << 20)
                       .astype(np.uint8) for _ in range(3)]
         round_rates = []
-        for rnd in range(2):
+        for rnd in range(3):
+            # fresh values each round (the runtime memoizes identical
+            # uploads; a reversed/rolled view re-copies on the host)
             t0 = time.time()
             for buf in probe_bufs:
                 np.asarray(jax.device_put(
-                    buf if rnd == 0 else buf[::-1])[:1])  # fresh values
+                    buf if rnd == 0 else
+                    (buf[::-1] if rnd == 1 else np.roll(buf, 1)))[:1])
             round_rates.append(3 * probe_mb / (time.time() - t0))
         link_mbps = max(round_rates)
+        stalled = [r for r in round_rates if r < link_mbps / 2]
+        link_probe_ok = len(round_rates) - len(stalled) >= 2
         bytes_per_frame = 480 * 640 * (2 + 3) / 2**20  # uint16 disp + rgb
         floor_ms = bytes_per_frame / link_mbps * 1e3
         util["link_MBps"] = round(link_mbps, 1)
+        util["link_probe_rounds_MBps"] = [round(r, 1) for r in round_rates]
+        util["link_probe_ok"] = link_probe_ok
         util["texture_link_floor_ms_per_frame"] = round(floor_ms, 1)
         log(f"link probe: sustained {link_mbps:.1f} MB/s "
-            f"(rounds {[round(r, 1) for r in round_rates]}) "
+            f"(rounds {[round(r, 1) for r in round_rates]}, "
+            f"{len(stalled)} stalled, ok={link_probe_ok}) "
             f"-> texture byte floor {floor_ms:.1f} ms/frame")
 
         log("texture warm-up (compiling)...")
@@ -436,12 +452,24 @@ def main():
                     "retrying once (stall suspected)")
         texture_s = dev_ms * N_RGB_FRAMES / 1e3  # full-scale equivalent
         util["texture_device_ms_per_frame"] = round(dev_ms, 1)
-        util["texture_vs_link_floor"] = round(dev_ms / floor_ms, 2)
-        log(f"texture device engine: {dev_ms:.1f} ms/frame = "
-            f"{util['texture_vs_link_floor']:.2f}x the measured link floor "
-            f"({texture_s:.1f}s at dataset scale; "
-            f"reference {TEXTURE_BASELINE_S:.0f}s = "
-            f"{TEXTURE_BASELINE_S / texture_s:.1f}x)")
+        ratio = dev_ms / floor_ms
+        # a leg "faster than the byte floor" (< 0.95x) is impossible —
+        # it means the probe understated the link, so the ratio is
+        # meaningless; mark it invalid instead of quoting it
+        if ratio >= 0.95 and link_probe_ok:
+            util["texture_vs_link_floor"] = round(ratio, 2)
+            log(f"texture device engine: {dev_ms:.1f} ms/frame = "
+                f"{ratio:.2f}x the measured link floor "
+                f"({texture_s:.1f}s at dataset scale; "
+                f"reference {TEXTURE_BASELINE_S:.0f}s = "
+                f"{TEXTURE_BASELINE_S / texture_s:.1f}x)")
+        else:
+            util["texture_vs_link_floor"] = "probe-invalid"
+            log(f"texture device engine: {dev_ms:.1f} ms/frame "
+                f"({texture_s:.1f}s at dataset scale) — link probe "
+                f"INVALID (ratio {ratio:.2f} vs floor from a "
+                f"{'stall-hit' if not link_probe_ok else 'understated'} "
+                "probe; no floor ratio quoted)")
 
         # production engine (main.py projector="auto"): the C++ host
         # projector reduces each frame to its last-writer-wins paint ops
@@ -469,7 +497,11 @@ def main():
                 f"{TEXTURE_BASELINE_S:.0f}s = "
                 f"{TEXTURE_BASELINE_S / tex_native_s:.1f}x)")
         else:
+            # without the native library this is the 768-frame device leg
+            # scaled to 2,407 frames, NOT a measured full-dataset run —
+            # flagged so JSON consumers can tell (advisor r4)
             stages["texture_s"] = round(texture_s, 3)
+            stages["texture_s_extrapolated"] = True
 
     pairs_per_s = (N_STEPS - 1) / elapsed  # headline convenience numbers
     log(f"e2e {elapsed:.2f}s | {pairs_per_s:.0f} scan-pairs/s equivalent | "

@@ -209,13 +209,17 @@ paint_cells = partial(jax.jit, donate_argnums=(0, 1))(_paint_cells_impl)
 
 
 def _pad_paint_ops(cells: np.ndarray, colors: np.ndarray,
-                   min_pad: int = 4096) -> np.ndarray:
+                   min_pad: int = 4096, multiple_of: int = 1) -> np.ndarray:
     """Pack variable-count paint ops into a (2, PAD) int32 buffer, PAD the
     next power of two (so the jitted paint sees a handful of static shapes
     across a whole run instead of one compile per batch). Padding rows
-    carry cell = -1, which the scatter-max ignores."""
+    carry cell = -1, which the scatter-max ignores. multiple_of rounds PAD
+    up further (sharded_paint_ops splits the op axis across a mesh axis
+    and needs PAD % n_devices == 0; a power of two covers power-of-two
+    meshes only — advisor r4)."""
     m = len(cells)
     pad = max(min_pad, 1 << (m - 1).bit_length()) if m else min_pad
+    pad = -(-pad // multiple_of) * multiple_of
     out = np.full((2, pad), -1, np.int32)
     out[0, :m] = cells
     out[1, :m] = colors
@@ -306,6 +310,14 @@ def generate_texture_map(
         ids = np.arange(s, min(s + batch_size, F))
         disp, rgb = load_frame_batch(ids)
         hw = disp.shape[1:]
+        if projector == "native" and not np.issubdtype(disp.dtype,
+                                                       np.integer):
+            # an explicit engine choice must not silently degrade to the
+            # raw-upload path (advisor r4); "auto" falls through by design
+            raise RuntimeError(
+                "projector='native' needs integer (raw sensor) disparity; "
+                f"the loader yielded {disp.dtype} — use projector='auto' "
+                "or 'device' for float-disparity loaders")
         if use_native and np.issubdtype(disp.dtype, np.integer):
             # paint-op path: host C++ projection, upload only the winners
             cells, colors = native_mod.project_frames(

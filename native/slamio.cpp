@@ -239,9 +239,13 @@ int slamio_dbscan(const float* pts, int n, int dims, float eps,
 // stage (lidar_slam_tpu/models/texture.py). The device path uploads raw
 // sensor bytes (1.54 MB/frame) and runs the unproject chain on the TPU; over
 // a thin host<->device link that upload IS the stage (PERF.md: 33.9 ms/frame
-// hard byte floor on the tunnel). This projector runs the identical chain
+// hard byte floor on the tunnel). This projector runs the same chain
 // (reference: modules/texture_mapping.py:134-224) on the host in double
-// precision and emits only the per-frame LAST-WRITER-WINS (cell, color)
+// precision — algebraically collapsed (reciprocal multiplies for the
+// grid/registration quotients, hoisted pose terms), so individual pixels
+// can differ from the reference in the last ulp and flip a ceil at exact
+// cell boundaries: measure-zero boundary divergence, none observed on the
+// committed scenes — and emits only the per-frame LAST-WRITER-WINS (cell, color)
 // paint ops — typically ~100x fewer bytes — which the device folds with the
 // same scatter-max it uses for the raw path. Dtype flow mirrors the
 // reference numpy code: disparity->depth in float32 (the reference casts

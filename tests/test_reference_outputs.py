@@ -154,6 +154,94 @@ def test_metrics_on_real_trajectories(ref):
     assert 0.0 < rpe["rot_rmse_deg"] < 2.0
 
 
+def test_gtsam_mode_graph_vs_committed_optimized_trajectory(ref):
+    """Reconstruct the reference's gtsam-mode pose graph as far as the
+    committed artifacts allow and bound our solution against the committed
+    `poses_optimized_20.npy` (VERDICT r4 item 4 — the one indirect leg of
+    the GTSAM-equivalence evidence).
+
+    Reconstructed exactly (reference main.py:148-155): prior at the origin
+    with sigmas [.1,.1,.1]; 4,955 between factors = the committed
+    scan-matching relative poses with sigmas [.3,.3,.3] (our
+    PoseGraphConfig defaults — asserted here). Reconstructed approximately
+    (main.py:158-172): the fixed-interval-10 loop factors. Their true
+    measurements are `run_icp(z_i, z_j)` on raw scans that are gitignored
+    upstream; the reconstructable stand-in is the chain-consistent relative
+    pose T_i^-1 T_j from the committed scan-matching chain (the same scans'
+    matched trajectory). The reference's acceptance gates ARE
+    reconstructable: max_distance = max per-step encoder distance = max
+    odometry step translation (main.py:94-100, poses_from_odometry's
+    v*dt), and max_yaw = max |gyro_z|*dt in degrees = max odometry step
+    yaw (main.py:101).
+
+    Documented residual: with chain-consistent loop measurements the graph
+    optimum IS the committed scan-matching chain, so the gap to
+    `poses_optimized_20.npy` equals the pull of the true ICP loop
+    measurements — measured here at ATE(p_sm, p_opt) rmse ~0.66 m. The
+    bound asserts (a) our optimizer lands within that documented envelope
+    of the committed optimum and (b) on the reconstructed graph our
+    solution's cost is <= the committed optimized trajectory's cost (the
+    committed answer solves a slightly different graph, so ours must
+    dominate on this one)."""
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.config import PoseGraphConfig
+    from lidar_slam_tpu.models import pose_graph as pg
+    from lidar_slam_tpu.utils import metrics, se2
+
+    cfg = PoseGraphConfig()
+    assert tuple(cfg.prior_sigmas) == (0.1, 0.1, 0.1)  # main.py:149
+    assert tuple(cfg.between_sigmas) == (0.3, 0.3, 0.3)  # main.py:151
+    assert tuple(cfg.loop_sigmas) == (0.3, 0.3, 0.3)  # main.py:168
+    assert cfg.fixed_interval == 10  # main.py:20
+
+    # the reference's gates, from the committed odometry relative poses
+    rp_odom = ref["rp_odom"]
+    max_distance = float(np.linalg.norm(rp_odom[:, :2, 2], axis=1).max())
+    step_yaw = np.abs(np.arctan2(rp_odom[:, 1, 0], rp_odom[:, 0, 0]))
+    max_yaw_deg = float(np.degrees(step_yaw.max()))
+    assert 0.01 < max_distance < 1.0 and 0.1 < max_yaw_deg < 45.0
+
+    p_sm = jnp.asarray(ref["p_sm"])
+    T = se2.T_from_pose(p_sm)
+    n = p_sm.shape[0]
+    loop_i = np.arange(0, n - cfg.fixed_interval, cfg.fixed_interval,
+                       dtype=np.int32)
+    loop_j = loop_i + cfg.fixed_interval
+    loop_meas = np.asarray(
+        jnp.matmul(se2.inverse_T(T[loop_i]), T[loop_j]))
+    # reference gate (main.py:167): translation < max_distance AND
+    # yaw DEGREES < max_yaw (note: signed angle, the reference quirk)
+    trans = np.linalg.norm(loop_meas[:, :2, 2], axis=1)
+    ang = np.degrees(np.arctan2(loop_meas[:, 1, 0], loop_meas[:, 0, 0]))
+    gate = (trans < max_distance) & (ang < max_yaw_deg)
+    assert 0 < gate.sum() < len(gate)  # the gate genuinely filters
+
+    g = pg.make_graph(jnp.asarray(ref["rp_sm"]), cfg,
+                      loop_i=jnp.asarray(loop_i),
+                      loop_j=jnp.asarray(loop_j),
+                      loop_meas=jnp.asarray(loop_meas),
+                      loop_mask=jnp.asarray(gate))
+    res = pg.optimize(p_sm, g, max_iters=10, solver="direct")
+
+    # (b) dominance on the reconstructed graph: the committed optimized
+    # trajectory answers a different loop set, so ours must cost no more
+    cost_opt = float(pg.graph_cost(jnp.asarray(ref["p_opt"]), g))
+    assert float(res.cost) <= cost_opt
+
+    # (a) the committed optimized trajectory sits within the documented
+    # loop-factor envelope of our solution
+    ate_envelope = metrics.ate_translation(ref["p_sm"], ref["p_opt"],
+                                           align=False)
+    ate_ours = metrics.ate_translation(np.asarray(res.poses), ref["p_opt"],
+                                       align=False)
+    assert ate_ours["rmse"] <= ate_envelope["rmse"] + 0.05
+    # and our solve stays essentially at the chain (its true optimum here)
+    ate_chain = metrics.ate_translation(np.asarray(res.poses), ref["p_sm"],
+                                        align=False)
+    assert ate_chain["rmse"] < 0.05
+
+
 def test_banded_solver_on_real_chain_with_fixed_interval_loops(ref):
     """The production 'banded' solver on the real chain, with synthetic
     fixed-interval loop closures whose measurements are consistent with the

@@ -272,6 +272,36 @@ def test_native_project_frames_last_writer_wins():
     assert (colors >= 0).all() and (colors < (1 << 24)).all()
 
 
+def test_native_projector_thread_count_bit_equality():
+    """slamio_project_frames across n_threads in {1, 2, 4}: bit-identical
+    output. The worker pool hands out whole FRAMES (dynamic counter), but
+    each frame's (cells, colors) land in per-frame slots concatenated in
+    frame order at the end, so thread count must not change a single byte —
+    this pins the advertised attached-multicore-host scaling path
+    (VERDICT r4 item 8) before anyone relies on it."""
+    from lidar_slam_tpu.utils import native
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(33)
+    cam = CameraConfig()
+    map_cfg = MapConfig(resolution=0.1, world_max_x=10, world_min_x=-10,
+                        world_max_y=10, world_min_y=-10)
+    B = 7  # odd + > thread counts: uneven work distribution
+    disp = rng.integers(300, 900, (B, 48, 64)).astype(np.uint16)
+    # sprinkle invalid (dd <= 0) pixels so the masked path is exercised
+    disp[rng.random((B, 48, 64)) < 0.05] = 0
+    rgb = rng.integers(0, 255, (B, 48, 64, 3)).astype(np.uint8)
+    poses = rng.normal(0, 2.0, (B, 3))
+    ref_cells, ref_colors = native.project_frames(
+        disp, rgb, poses, cam, map_cfg, n_threads=1)
+    assert len(ref_cells) > 0
+    for nt in (2, 4):
+        cells, colors = native.project_frames(
+            disp, rgb, poses, cam, map_cfg, n_threads=nt)
+        np.testing.assert_array_equal(cells, ref_cells)
+        np.testing.assert_array_equal(colors, ref_colors)
+
+
 def test_pad_paint_ops_buckets():
     c = np.arange(5, dtype=np.int32)
     ops = texture._pad_paint_ops(c, c, min_pad=4)
