@@ -246,6 +246,7 @@ def generate_texture_map(
     batch_size: int = 16,
     dtype=jnp.float32,
     projector: str = "device",
+    ops_group: int = 8,
 ) -> np.ndarray:
     """Build the texture map.
 
@@ -279,6 +280,12 @@ def generate_texture_map(
         host-compute-bound. Requires integer disparity + the native lib.
       - "auto": "native" when available and the loader yields integer
         disparity, else "device".
+    ops_group (native engine only): number of projected batches whose
+    paint ops fold into ONE padded upload + ONE paint dispatch — the
+    tunnel charges ~26 ms latency per transfer, which at batch 16
+    ungrouped is ~1.6 ms/frame; at the default group of 8 (128 frames,
+    still only ~400 KB) it amortizes to ~0.2 ms/frame.
+
     Both engines feed the SAME device-side scatter-max fold (paint_cells),
     and agree exactly on the committed test scenes (tests/test_texture.py
     cross-engine equality); they may differ on measure-zero cell-boundary
@@ -319,11 +326,14 @@ def generate_texture_map(
                 f"the loader yielded {disp.dtype} — use projector='auto' "
                 "or 'device' for float-disparity loaders")
         if use_native and np.issubdtype(disp.dtype, np.integer):
-            # paint-op path: host C++ projection, upload only the winners
+            # paint-op path: host C++ projection; the upload is DEFERRED —
+            # the main loop folds ops_group batches' ops into ONE padded
+            # buffer per transfer (the tunnel charges ~26 ms latency per
+            # transfer, which at batch 16 was ~1.6 ms/frame of the stage;
+            # grouped it amortizes to noise)
             cells, colors = native_mod.project_frames(
                 disp, rgb, poses[rgb_pose_indices[ids]], cam_cfg, map_cfg)
-            return ("ops", jax.device_put(_pad_paint_ops(cells, colors)),
-                    ids, hw)
+            return ("ops", (cells, colors), ids, hw)
         pb = np.asarray(poses[rgb_pose_indices[ids]], dtype)
         if (np.issubdtype(disp.dtype, np.integer)
                 and jnp.dtype(dtype) == jnp.float32):
@@ -335,6 +345,24 @@ def generate_texture_map(
                         jax.device_put(np.asarray(rgb)), jax.device_put(pb)),
                 ids, hw)
 
+    # paint-op accumulator: host projections from up to ops_group batches
+    # fold into ONE padded upload + ONE paint dispatch (frame order is
+    # preserved, so concatenated sequence numbers keep the exact
+    # last-writer-wins semantics across the whole group)
+    ops_pending: list = []
+
+    def flush_ops():
+        nonlocal winner, cell_color, base
+        if not ops_pending:
+            return
+        cells = np.concatenate([c for c, _ in ops_pending])
+        colors = np.concatenate([c for _, c in ops_pending])
+        ops_pending.clear()
+        buf = jax.device_put(_pad_paint_ops(cells, colors))
+        winner, cell_color = paint_ops(winner, cell_color, buf,
+                                       jnp.int32(base))
+        base += int(buf.shape[1])
+
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(prep, starts[0]) if starts else None
         for i, s in enumerate(starts):
@@ -342,10 +370,11 @@ def generate_texture_map(
             if i + 1 < len(starts):
                 fut = ex.submit(prep, starts[i + 1])
             if kind == "ops":
-                winner, cell_color = paint_ops(winner, cell_color, batch_d,
-                                               jnp.int32(base))
-                base += int(batch_d.shape[1])
+                ops_pending.append(batch_d)
+                if len(ops_pending) >= max(1, ops_group):
+                    flush_ops()
                 continue
+            flush_ops()  # order-preserving if engines ever interleave
             if kind == "raw":
                 lin, colors, ok = frames_to_cells(*batch_d, map_cfg,
                                                   cam_cfg)
@@ -360,6 +389,7 @@ def generate_texture_map(
             winner, cell_color = paint_cells(winner, cell_color, lin,
                                              colors, jnp.int32(base))
             base += int(lin.shape[0])
+        flush_ops()
 
     # int32 on device: uint8 arrays hit pathological TPU lowerings
     grid_dev = jnp.asarray(np.asarray(grid_map).astype(np.int32))
