@@ -18,6 +18,21 @@ is compared against the production kernel's measured ns/visit; the
 difference is v8's while-loop/sentinel handling that the probe's
 fori_loop replaces. PERF.md "Derived stage floors" carries the numbers.
 
+Round-5 addition (VERDICT r4 item 3) — the PER-RAY SETUP slope, probed
+instead of modeled. v8's ray_body runs, before any visit, 6 aux SMEM
+loads + the DR/V0/DRu vector prologue (two (64, 128) iota selects, two
+multiplies, one add, one bitcast) whose ~0.2 s share of the map stage
+was previously arithmetic, not measurement:
+
+  ray1    per iteration: full per-ray aux-load + DR/V0 prologue + ONE
+          emit() visit (the visit keeps V0 live against DCE)
+  ray2    same prologue + TWO emit() visits
+
+  setup slope = 2*slope(ray1) - slope(ray2)   (the visit term cancels)
+
+Both modes iterate RAYS, so their slopes are ns/RAY; the in-situ
+per-visit cost slope(ray2) - slope(ray1) cross-checks the 'full' mode.
+
 Usage: python tools/vpu_probe.py [--m1 16384] [--m2 65536]
 """
 
@@ -37,6 +52,12 @@ def main():
     ap.add_argument("--m1", type=int, default=16384)
     ap.add_argument("--m2", type=int, default=65536)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--modes", type=str,
+                    default="rmw,vec,full,fullv,ray1,ray2",
+                    help="comma-separated subset (a failed Mosaic compile "
+                         "can wedge the remote compile helper for "
+                         "SUBSEQUENT kernels in the same process — run "
+                         "fullv separately from the ray modes)")
     args = ap.parse_args()
 
     import jax
@@ -118,6 +139,51 @@ def main():
                     emit(wv_ref[0, i], wv_ref[1, i])
                     emit(wv_ref[2, i], wv_ref[3, i])
                     return 0
+            elif mode in ("ray1", "ray2"):
+                # v8 ray_body per-RAY prologue, replicated exactly
+                # (ops/raywalk.py _make_kernel_v8): 6 aux scalar loads,
+                # scalar ca/cb, then the vector DR/V0/DRu setup on the
+                # (TS, LANES) tile, followed by 1 or 2 visits that
+                # consume V0 (keeping the prologue live against DCE)
+                def body(i, _):
+                    steep = words_ref[4, i]
+                    sgM = words_ref[5, i]
+                    sgm = words_ref[6, i]
+                    dM = jnp.maximum(words_ref[7, i], 1)
+                    dm = words_ref[8, i]
+                    deg = words_ref[9, i]
+                    stp = steep == 1
+                    ca = sgM * dm
+                    cb = -sgm * dM
+                    DR = jnp.where(stp, l_iota, s_iota)
+                    V0r = ca * DR + cb * jnp.where(stp, s_iota, l_iota)
+                    DRu = DR.astype(jnp.uint32)
+                    dMu = dM.astype(jnp.uint32)
+
+                    def emit_r(C, w2):
+                        # production emit(): d_end from the per-ray deg
+                        span = w2 & 127
+                        d_lo = (w2 >> 7) & 255
+                        tile = w2 >> 15
+                        lt = (tile & 15) * LANES
+                        rt = (tile >> 4) * TS
+                        d_end = deg - jnp.where(stp, lt, rt)
+                        val = V0r + C
+                        mk = ((val.astype(jnp.uint32) < dMu)
+                              & ((DRu - d_lo.astype(jnp.uint32))
+                                 <= span.astype(jnp.uint32)))
+                        delta = jnp.where(
+                            mk, jnp.where(DR == d_end, 1.386, -1.386), 0.0)
+                        rts = pl.multiple_of(rt, TS)
+                        lts = pl.multiple_of(lt, LANES)
+                        tv = grid_ref[pl.ds(rts, TS), pl.ds(lts, LANES)]
+                        grid_ref[pl.ds(rts, TS), pl.ds(lts, LANES)] = \
+                            tv + delta
+
+                    emit_r(words_ref[0, i], words_ref[1, i])
+                    if mode == "ray2":
+                        emit_r(words_ref[2, i], words_ref[3, i])
+                    return 0
             else:
                 raise ValueError(mode)
 
@@ -146,9 +212,9 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def words_for(n_pairs, seed):
+    def words_for(n_pairs, seed, rays=False):
         r = np.random.default_rng(seed)
-        w = np.empty((4, n_pairs), np.int32)
+        w = np.empty((10 if rays else 4, n_pairs), np.int32)
         w[0] = r.integers(0, 1024, n_pairs)
         w[2] = r.integers(0, 1024, n_pairs)
         for row in (1, 3):
@@ -156,6 +222,14 @@ def main():
                     | (r.integers(0, n_row_t, n_pairs) << 4))
             w[row] = (r.integers(0, 64, n_pairs)
                       | (r.integers(0, 64, n_pairs) << 7) | (tile << 15))
+        if rays:
+            # per-ray aux fields with dataset-realistic distributions
+            w[4] = r.integers(0, 2, n_pairs)            # steep
+            w[5] = r.integers(0, 2, n_pairs) * 2 - 1    # sgM
+            w[6] = r.integers(0, 2, n_pairs) * 2 - 1    # sgm
+            w[7] = r.integers(1, 608, n_pairs)          # dM
+            w[8] = r.integers(0, 64, n_pairs)           # dm
+            w[9] = r.integers(0, 128, n_pairs)          # deg (d_end_g)
         return w
 
     def timed(mode, n_pairs, reps_k):
@@ -165,9 +239,10 @@ def main():
         else:
             call = jax.jit(
                 lambda w, g: build_call(n_pairs, mode, reps_k)(w, g))
+        rays = mode in ("ray1", "ray2")
         best = np.inf
         for rep in range(args.reps):
-            w = jnp.asarray(words_for(n_pairs, 10 + rep))
+            w = jnp.asarray(words_for(n_pairs, 10 + rep, rays=rays))
             g = jnp.asarray(rng.normal(0, 1, (GRID, GRID)), jnp.float32)
             jax.block_until_ready((w, g))
             t0 = time.time()
@@ -179,25 +254,49 @@ def main():
 
     m = args.m1
     r1, r2 = 8, 40
-    print(f"mode     t({r1}x{m})   t({r2}x{m})   ns/visit (slope)")
+    print(f"mode     t({r1}x{m})   t({r2}x{m})   ns/unit (slope)")
     slopes = {}
-    for mode in ("rmw", "vec", "full", "fullv"):
-        timed(mode, m, r1)  # warm-up compiles
+    wanted = [s.strip() for s in args.modes.split(",") if s.strip()]
+    for mode in wanted:
+        try:
+            timed(mode, m, r1)  # warm-up compiles
+        except Exception as e:  # noqa: BLE001
+            # fullv documents Mosaic's VMEM dynamic-lane scalar-load limit
+            # by FAILING to compile on some toolchains — record and move on
+            print(f"{mode:7s}  does not compile on this toolchain "
+                  f"({str(e).splitlines()[0][:80]})")
+            slopes[mode] = float("nan")
+            continue
         t1 = timed(mode, m, r1)
         t2 = timed(mode, m, r2)
-        per_visit = (t2 - t1) / (2 * m * (r2 - r1)) * 1e9
-        slopes[mode] = per_visit
+        # pair modes do 2 visits/iteration (unit = visit); ray modes are
+        # per-RAY slopes (unit = ray-iteration)
+        denom = m * (r2 - r1) * (1 if mode in ("ray1", "ray2") else 2)
+        per_unit = (t2 - t1) / denom * 1e9
+        slopes[mode] = per_unit
         print(f"{mode:7s}  {t1*1e3:8.2f}ms  {t2*1e3:8.2f}ms  "
-              f"{per_visit:6.1f}")
-    print(f"\npaired tile RMW alone (rmw): {slopes['rmw']:.1f} ns/visit")
-    print(f"+ mask chain (vec - rmw): "
-          f"{slopes['vec'] - slopes['rmw']:.1f} ns/visit")
-    print(f"+ scalar SMEM/unpack (full - vec): "
-          f"{slopes['full'] - slopes['vec']:.1f} ns/visit")
-    print(f"derived v8 visit floor (full, fori_loop): "
-          f"{slopes['full']:.1f} ns/visit")
-    print("production v8 measured: bench util map_ns_per_visit "
-          "(~35.5); difference = while-loop/sentinel vs fori_loop")
+              f"{per_unit:6.1f}")
+    if {"rmw", "vec", "full"} <= slopes.keys():
+        print(f"\npaired tile RMW alone (rmw): {slopes['rmw']:.1f} ns/visit")
+        print(f"+ mask chain (vec - rmw): "
+              f"{slopes['vec'] - slopes['rmw']:.1f} ns/visit")
+        print(f"+ scalar SMEM/unpack (full - vec): "
+              f"{slopes['full'] - slopes['vec']:.1f} ns/visit")
+        print(f"derived v8 visit floor (full, fori_loop): "
+              f"{slopes['full']:.1f} ns/visit")
+        print("production v8 measured: bench util map_ns_per_visit "
+              "(~35.5); difference = while-loop/sentinel vs fori_loop")
+    if {"ray1", "ray2"} <= slopes.keys():
+        setup = 2 * slopes["ray1"] - slopes["ray2"]
+        visit_in_situ = slopes["ray2"] - slopes["ray1"]
+        n_rays_ds = 4956 * 1081  # dataset-20 scans x rays
+        print(f"\nper-ray setup (2*ray1 - ray2): {setup:.1f} ns/ray")
+        print(f"in-situ visit cost (ray2 - ray1): {visit_in_situ:.1f} "
+              "ns/visit"
+              + (f" (cross-check vs full {slopes['full']:.1f})"
+                 if "full" in slopes else ""))
+        print(f"dataset-20 per-ray setup total ({n_rays_ds/1e6:.2f}M rays): "
+              f"{setup * n_rays_ds / 1e9:.3f} s")
 
 
 if __name__ == "__main__":
