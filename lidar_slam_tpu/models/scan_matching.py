@@ -51,6 +51,7 @@ def icp_all_pairs(
     partition: str = "cumsum",
     trim_fraction: float = 1.0,
     metric: str = "point",
+    carry_idx: bool = False,
 ):
     """Batched ICP over B pairs, processed in fixed-size chunks.
 
@@ -142,7 +143,15 @@ def icp_all_pairs(
     # phase 0: one iteration for every pair (work any schedule must do)
     def phase0(args):
         s, t, sm, tm, i0 = args
-        carry = icp_ops.initial_icp_carry(i0, C, P, s.dtype)
+        # with_idx=False (default): the phased path never reads
+        # correspondences back out of the carry, and idx is its largest
+        # field — (B, P) int32 ≈ 22 MB at dataset scale, re-gathered by
+        # every phase's live-first permutation and sliced/updated by every
+        # chunk step. Dropping it changes no T/err/k value (bit-identity
+        # tested vs "chunked"); carry_idx=True keeps it (A/B baseline,
+        # tools/sm_bench.py).
+        carry = icp_ops.initial_icp_carry(i0, C, P, s.dtype,
+                                          with_idx=carry_idx)
         return icp_ops.icp_step_batch(s, t, sm, tm, carry, **kwargs)
 
     c = tmap(flat, jax.lax.map(
@@ -199,7 +208,8 @@ def icp_all_pairs(
     return c.T[inv][:B], c.err[inv][:B], c.k[inv][:B]
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk_size", "partition"))
+@partial(jax.jit, static_argnames=("cfg", "chunk_size", "partition",
+                                   "carry_idx"))
 def poses_from_scan_matching(
     x_ts: jnp.ndarray,
     points: jnp.ndarray,
@@ -207,6 +217,7 @@ def poses_from_scan_matching(
     cfg: IcpConfig = IcpConfig(),
     chunk_size: int = 64,
     partition: str = "cumsum",
+    carry_idx: bool = False,
 ) -> ScanMatchResult:
     """Refine an odometry trajectory with batched consecutive-pair ICP.
 
@@ -229,7 +240,8 @@ def poses_from_scan_matching(
         epsilon=cfg.epsilon, max_iters=cfg.max_iters,
         stopping_thresh=cfg.stopping_thresh,
         normalize_error=cfg.normalize_error, chunk_size=chunk_size,
-        planar=True, partition=partition, metric=cfg.metric)
+        planar=True, partition=partition, metric=cfg.metric,
+        carry_idx=carry_idx)
 
     rel2 = se2.TSE2_from_TSE3(T_icp)  # (N-1, 3, 3)
     chain = se2.compose_chain(rel2)  # (N, 3, 3)

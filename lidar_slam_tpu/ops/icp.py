@@ -183,7 +183,10 @@ class IcpCarry(NamedTuple):
     err: jnp.ndarray  # (B,)
     last_err: jnp.ndarray  # (B,)
     last_err2: jnp.ndarray  # (B,) error two iterations back (cycle stop)
-    idx: jnp.ndarray  # (B, P) int32
+    idx: jnp.ndarray | None  # (B, P) int32, or None for schedules that
+    # never read correspondences back (None removes the carry's largest
+    # field — (B, P) ≈ 22 MB at dataset scale — from every per-phase
+    # permutation and per-chunk slice/update; T/err/k are unaffected)
     k: jnp.ndarray  # (B,) int32
     done: jnp.ndarray  # (B,) bool
 
@@ -222,7 +225,7 @@ def _icp_body(src, tgt, src_mask, tgt_mask, c: IcpCarry,
         err=jnp.where(live, err, c.err),
         last_err=jnp.where(live, err, c.last_err),
         last_err2=jnp.where(live, c.last_err, c.last_err2),
-        idx=jnp.where(live[:, None], idx, c.idx),
+        idx=None if c.idx is None else jnp.where(live[:, None], idx, c.idx),
         k=jnp.where(live, c.k + 1, c.k),
         done=done_new,
     )
@@ -247,13 +250,13 @@ def _icp_while(src, tgt, src_mask, tgt_mask, carry: IcpCarry,
 
 
 def initial_icp_carry(init_T: jnp.ndarray, B: int, P: int,
-                      dtype) -> IcpCarry:
+                      dtype, with_idx: bool = True) -> IcpCarry:
     return IcpCarry(
         T=init_T.astype(dtype),
         err=jnp.full((B,), _INF, dtype),
         last_err=jnp.full((B,), _INF, dtype),
         last_err2=jnp.full((B,), _INF, dtype),
-        idx=jnp.zeros((B, P), jnp.int32),
+        idx=jnp.zeros((B, P), jnp.int32) if with_idx else None,
         k=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
     )

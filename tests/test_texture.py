@@ -247,6 +247,40 @@ def test_native_projector_matches_spec():
     np.testing.assert_array_equal(got, dev)
 
 
+def test_native_projector_grouped_uploads_equal():
+    """ops_group folds several projected batches into one padded upload +
+    one paint dispatch; grouping must be invisible in the result. Equality
+    across group sizes (1 = one upload per batch, 3 = uneven final flush,
+    8 = everything in one group) and vs the device engine
+    (models/texture.py generate_texture_map ops_group)."""
+    from lidar_slam_tpu.utils import native
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    map_cfg = MapConfig(resolution=0.1, world_max_x=8, world_min_x=-8,
+                        world_max_y=8, world_min_y=-8)
+    cam = CameraConfig()
+    n = 10
+    disp = rng.integers(300, 900, (n, 24, 32)).astype(np.uint16)
+    rgb = rng.integers(0, 255, (n, 24, 32, 3)).astype(np.uint8)
+    poses = rng.normal(0, 1.0, (n, 3))
+    rgb_pose = np.arange(n)
+    grid = rng.integers(0, 2, (map_cfg.width, map_cfg.height)).astype(np.uint8)
+    loader = lambda ids: (disp[ids], rgb[ids])
+
+    outs = {}
+    for g in (1, 3, 8):
+        outs[g] = texture.generate_texture_map(
+            poses, rgb_pose, np.arange(n), grid, loader, map_cfg, cam,
+            batch_size=2, projector="native", ops_group=g)
+    np.testing.assert_array_equal(outs[1], outs[3])
+    np.testing.assert_array_equal(outs[1], outs[8])
+    dev = texture.generate_texture_map(
+        poses, rgb_pose, np.arange(n), grid, loader, map_cfg, cam,
+        batch_size=2, projector="device")
+    np.testing.assert_array_equal(outs[1], dev)
+
+
 def test_native_project_frames_last_writer_wins():
     """Unit semantics of native.project_frames: within a frame each cell
     appears once carrying its LAST pixel's color; frames concatenate in

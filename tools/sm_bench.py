@@ -34,6 +34,9 @@ def main():
     args = [a for a in sys.argv[1:]]
     partitions = [a for a in args if a in ("argsort", "cumsum")]
     metrics = [a for a in args if a in ("point", "point_to_line")]
+    # carry-idx A/B (round 5): "noidx" = production default (correspondence
+    # indices dropped from the phased carry), "idx" = round-4 baseline
+    carries = [a for a in args if a in ("idx", "noidx")]
     n_steps = 4956
     scans_args = [a for a in args if a.startswith("scans=")]
     if scans_args:
@@ -41,6 +44,7 @@ def main():
     chunks = [int(c) for c in args if c.isdigit()] or [64]
     partitions = partitions or ["argsort"]
     metrics = metrics or ["point"]
+    carries = carries or ["noidx"]
     cfg = SlamConfig()
     from lidar_slam_tpu.utils.profiling import devices_or_die
     log(f"device: {devices_or_die()[0]}")
@@ -54,19 +58,20 @@ def main():
 
     import dataclasses
     import itertools
-    for chunk, part, metric in itertools.product(chunks, partitions, metrics):
+    for chunk, part, metric, cidx in itertools.product(
+            chunks, partitions, metrics, carries):
         icp_cfg = dataclasses.replace(cfg.icp, metric=metric)
 
         def run(p):
             sm = scan_matching.poses_from_scan_matching(
                 p, points, masks, icp_cfg, chunk_size=chunk,
-                partition=part)
+                partition=part, carry_idx=(cidx == "idx"))
             return sm
 
         t0 = time.time()
         sm = run(poses)
         np.asarray(sm.poses)
-        log(f"chunk={chunk} partition={part} metric={metric}: "
+        log(f"chunk={chunk} partition={part} metric={metric} carry={cidx}: "
             f"warm-up {time.time()-t0:.1f}s "
             f"(iters mean {float(jnp.mean(sm.iters)):.1f} "
             f"max {int(jnp.max(sm.iters))})")
@@ -87,7 +92,7 @@ def main():
             sm = run(p)
         np.asarray(sm.poses)
         dt = (time.time() - t0) / reps
-        log(f"chunk={chunk} partition={part} metric={metric}: "
+        log(f"chunk={chunk} partition={part} metric={metric} carry={cidx}: "
             f"{dt:.3f}s per run "
             f"(iters mean {float(jnp.mean(sm.iters)):.1f})")
 

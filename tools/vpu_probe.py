@@ -74,6 +74,8 @@ def main():
     n_lane_t = GRID // LANES  # 4
 
     def make_kernel(n_pairs: int, mode: str, reps: int):
+        ray_w = min(n_pairs, 4096)
+
         def kernel(words_ref, *refs):
             if mode == "fullv":
                 wv_ref, _, grid_ref = refs
@@ -144,8 +146,13 @@ def main():
                 # (ops/raywalk.py _make_kernel_v8): 6 aux scalar loads,
                 # scalar ca/cb, then the vector DR/V0/DRu setup on the
                 # (TS, LANES) tile, followed by 1 or 2 visits that
-                # consume V0 (keeping the prologue live against DCE)
-                def body(i, _):
+                # consume V0 (keeping the prologue live against DCE).
+                # The word table is capped at RAY_W columns (i & (RAY_W-1))
+                # so the 10-row SMEM operand stays ~160 KB — (10, 16384)
+                # = 655 KB crashes the Mosaic compile helper where the
+                # 4-row pair modes (256 KB) compile fine.
+                def body(iw, _):
+                    i = iw & (ray_w - 1)
                     steep = words_ref[4, i]
                     sgM = words_ref[5, i]
                     sgm = words_ref[6, i]
@@ -214,6 +221,8 @@ def main():
 
     def words_for(n_pairs, seed, rays=False):
         r = np.random.default_rng(seed)
+        if rays:
+            n_pairs = min(n_pairs, 4096)  # kernel indexes i & (ray_w - 1)
         w = np.empty((10 if rays else 4, n_pairs), np.int32)
         w[0] = r.integers(0, 1024, n_pairs)
         w[2] = r.integers(0, 1024, n_pairs)
