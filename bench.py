@@ -362,12 +362,21 @@ def main():
         base_disp = base_rng.integers(300, 800, (16, H, W)).astype(np.uint16)
         base_rgb = base_rng.integers(0, 255, (16, H, W, 3)).astype(np.uint8)
 
+        disp_buf = np.empty_like(base_disp)
+
         def tex_loader(ids):
             b = len(ids)
             # cheap per-batch value variation (defeats memoization; the
-            # +offset stays within the valid disparity range)
+            # +offset stays within the valid disparity range). The add
+            # writes into a preallocated buffer — a fresh 9.8 MB
+            # allocation per 16-frame batch measured ~0.1 ms/frame of
+            # page-fault cost on the 1-core host, and every consumer
+            # (native projection, batch packing, dtype conversion) copies
+            # or fully consumes the frames inside the same prep call, so
+            # reuse is safe.
             off = np.uint16(int(ids[0]) % 97)
-            return base_disp[:b] + off, base_rgb[:b]
+            np.add(base_disp[:b], off, out=disp_buf[:b])
+            return disp_buf[:b], base_rgb[:b]
 
         tex_grid = np.zeros((cfg.map.width, cfg.map.height), np.uint8)
         tex_poses = np.asarray(base_rng.normal(0, 5.0, (N_RGB_FRAMES, 3)),
