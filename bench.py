@@ -225,16 +225,32 @@ def main():
             "on 32 scans — OK")
 
         # optional-path timing: DBSCAN + statistical filters at full scale
-        # (the reference baseline excludes them too; PERF.md has the row)
+        # (the reference baseline excludes them too; PERF.md has the row).
+        # Same timing discipline as every other stage: np.asarray-fetched
+        # warm-up (block_until_ready can return early on axon), a
+        # fresh-value throwaway to drain the first-timed-leg warm-in, and
+        # best-of-2 on distinct inputs (the runtime memoizes value-repeat
+        # calls). The round-4 single-shot leg recorded 0.54 s where
+        # alternating drained legs measure 0.23-0.27 s — the difference
+        # was the warm-in artifact, not filter compute.
         from lidar_slam_tpu.ops import filters
-        fm = filters.dbscan_filter_scans(warm[2], masks)
-        fm = filters.statistical_filter_scans(warm[2], fm)
-        fm.block_until_ready()
-        t0 = time.time()
-        fm = filters.dbscan_filter_scans(timed_runs[0][2], timed_runs[0][3])
-        fm = filters.statistical_filter_scans(timed_runs[0][2], fm)
-        np.asarray(fm[:1])  # drain before the timed region
-        filter_s = time.time() - t0
+
+        def filter_pass(pts, mks):
+            fm = filters.dbscan_filter_scans(pts, mks)
+            fm = filters.statistical_filter_scans(pts, fm)
+            return fm
+
+        np.asarray(filter_pass(warm[2], masks)[:1])  # compile + warm
+        np.asarray(filter_pass(warm[2] + 1e-3, masks)[:1])  # throwaway
+        filter_s = None
+        for fr in range(2):
+            pts_f, mks_f = timed_runs[fr][2], timed_runs[fr][3]
+            np.asarray(pts_f[:1]); np.asarray(mks_f[:1])  # drain uploads
+            t0 = time.time()
+            fm = filter_pass(pts_f, mks_f)
+            np.asarray(fm[:1])  # fetch forces execution
+            leg = time.time() - t0
+            filter_s = leg if filter_s is None else min(filter_s, leg)
         log(f"filter path (DBSCAN+statistical, {N_STEPS}x{N_RAYS}): "
             f"{filter_s:.2f}s "
             f"(kept {float(jnp.mean(fm)):.3f} of rays)")
