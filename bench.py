@@ -507,13 +507,15 @@ def main():
         if native_mod.available():
             log(f"texture stage ({N_RGB_FRAMES} frames, native paint-op "
                 "projector)...")
-            # best-of-2 fresh-value reps, same discipline as the e2e
+            # best-of-3 fresh-value reps, same discipline as the e2e
             # headline: the stage uploads only ~3 KB/frame, so a slow leg
             # is a tunnel stall burst, not the engine (a 512-frame probe
             # on a stall-heavy day measured 2.4-2.9 ms/frame while a
-            # single 2,407-frame bench pass landed at 7.1)
+            # single 2,407-frame bench pass landed at 7.1; late round 5
+            # measured back-to-back full legs spread 1.67-2.07 ms/frame
+            # with the same code, so two reps can both land on bursts)
             rep_ms = []
-            for rep in range(2):
+            for rep in range(3):
                 p = tex_poses + np.float32(rep) * 1e-3
                 t0 = time.time()
                 texture_mod.generate_texture_map(
