@@ -741,6 +741,268 @@ def optimize_with_config(poses0: jnp.ndarray, graph: PoseGraph,
                     robust_delta=getattr(cfg, "robust_delta", 1.0))
 
 
+def optimize_sharded(
+    poses0: jnp.ndarray,
+    graph: PoseGraph,
+    mesh,
+    axis: str = "dp",
+    max_iters: int = 50,
+    lambda_init: float = 1e-4,
+    lambda_up: float = 10.0,
+    lambda_down: float = 0.1,
+    cost_rtol: float = 1e-9,
+    band: int = 10,
+    robust: str = "none",
+    robust_delta: float = 1.0,
+) -> LMResult:
+    """Multi-chip pose-graph LM: FACTOR-parallel linearization + assembly.
+
+    The single-chip banded solver's 12.6 ms/LM-iteration is dominated by
+    parallel work — the batched per-factor r+J forward-mode pass, the
+    J^T J block products, and the super-block Hessian scatters (PERF.md
+    "Pose graph: at its per-iteration floor") — not by the SPIKE solve's
+    ~96-step sequential chain. This optimizer therefore shards the FACTOR
+    axis over the mesh while POSES replicate: each device linearizes its
+    contiguous shard of between + loop factors and scatters its
+    contributions into a local gradient and local super-block tridiagonal
+    (A, O) arrays; ONE fused psum per LM iteration combines them (~3.7 MB
+    at dataset scale: (n_sup, 3*band, 3*band) x 2 + (n, 3) — vs the
+    ~5.4k-factor linearization work it divides by D); the prior, the
+    lambda damping, and the padding-identity blocks are added AFTER the
+    psum from replicated values so they count exactly once; the SPIKE
+    solve and the LM accept/damping control flow run replicated (psum
+    results are identical on every device, so control flow cannot
+    diverge). Exactness: same per-factor math as _optimize_jit's banded
+    path; the only difference is summation ORDER in the scatter-adds
+    (within-shard then cross-device), so results match the single-chip
+    optimizer to float reassociation — the 8-device CPU-mesh tests pin
+    poses to ~1e-5 and the final cost to ~1e-8 relative (the iteration
+    count may differ by one when reassociation moves the step where the
+    relative decrease crosses cost_rtol).
+
+    BANDED solver only: every live loop factor must span <= band poses
+    (the pipeline's fixed-interval graphs, reference main.py:158-161).
+    Wide/reversed arcs raise when the indices are concrete, mirroring
+    optimize()'s host-side guard (no silent fallback — the direct
+    solver's Woodbury panel is not sharded).
+    """
+    from jax.sharding import PartitionSpec
+
+    n = poses0.shape[0]
+    dtype = poses0.dtype
+    n_dev = mesh.shape[axis]
+
+    if graph.loop_i.shape[0] and not (
+            isinstance(graph.loop_i, jax.core.Tracer)
+            or isinstance(graph.loop_j, jax.core.Tracer)):
+        import numpy as np
+        span = np.asarray(graph.loop_j) - np.asarray(graph.loop_i)
+        if not isinstance(graph.loop_mask, jax.core.Tracer):
+            span = span[np.asarray(graph.loop_mask).astype(bool)]
+        if span.size and (int(span.max()) > band or int(span.min()) < 0):
+            raise ValueError(
+                f"optimize_sharded is banded-only: loop spans must lie in "
+                f"[0, band={band}], got [{int(span.min())}, "
+                f"{int(span.max())}] — use the single-device "
+                "solver='direct' path for wide/reversed arcs")
+
+    # ---- pad the factor axes to multiples of the mesh axis. Padded
+    # factors carry mask 0 and benign indices; their zeroed J/r blocks
+    # scatter zeros, so they are exact no-ops on every device.
+    Bf = graph.between_meas.shape[0]
+    Bp = max(-(-Bf // n_dev) * n_dev, n_dev)
+    bfi = jnp.concatenate([jnp.arange(Bf, dtype=jnp.int32),
+                           jnp.zeros(Bp - Bf, jnp.int32)])
+    bfj = jnp.concatenate([jnp.arange(1, Bf + 1, dtype=jnp.int32),
+                           jnp.ones(Bp - Bf, jnp.int32)])
+    bmask = jnp.arange(Bp) < Bf
+    bmeas = jnp.concatenate([
+        graph.between_meas,
+        jnp.broadcast_to(jnp.eye(3, dtype=dtype), (Bp - Bf, 3, 3))])
+
+    Lf = graph.loop_i.shape[0]
+    Lp = max(-(-max(Lf, 1) // n_dev) * n_dev, n_dev)
+    lfi = jnp.concatenate([graph.loop_i.astype(jnp.int32),
+                           jnp.zeros(Lp - Lf, jnp.int32)])
+    lfj = jnp.concatenate([graph.loop_j.astype(jnp.int32),
+                           jnp.zeros(Lp - Lf, jnp.int32)])
+    lmask = jnp.concatenate([graph.loop_mask.astype(bool),
+                             jnp.zeros(Lp - Lf, bool)])
+    lmeas = jnp.concatenate([
+        graph.loop_meas,
+        jnp.broadcast_to(jnp.eye(3, dtype=dtype), (Lp - Lf, 3, 3))])
+
+    # ---- static super-block geometry (identical to banded_solve)
+    G = band
+    bs = 3 * G
+    n_sup = -(-n // G)
+    n_padded = n_sup * G
+    ii = jnp.arange(3)[:, None]
+    jj = jnp.arange(3)[None, :]
+    s_all = jnp.arange(n) // G
+    o_all = jnp.arange(n) % G
+    eye3n = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3))
+    # lambda-damping template: eye3 at every LIVE pose's diagonal block
+    eye_live = jnp.zeros((n_sup, bs, bs), dtype).at[
+        s_all[:, None, None], (3 * o_all)[:, None, None] + ii,
+        (3 * o_all)[:, None, None] + jj].add(eye3n)
+    # padded-tail poses: identity diagonal, zero coupling, zero rhs
+    eye_pad = jnp.zeros((n_sup, bs, bs), dtype)
+    if n_padded != n:
+        pad = jnp.arange(n, n_padded)
+        eye_pad = eye_pad.at[
+            pad[:, None, None] // G, (3 * (pad % G))[:, None, None] + ii,
+            (3 * (pad % G))[:, None, None] + jj].add(
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n_padded - n, 3, 3)))
+
+    inv_btw = 1.0 / graph.between_sigmas
+    inv_loop = 1.0 / graph.loop_sigmas
+    inv_prior = 1.0 / graph.prior_sigmas
+    T_prior_inv = se2.inverse_T(se2.T_from_pose(graph.prior_pose))
+
+    def jtj(Ja, Jb):
+        return jnp.einsum("bij,bik->bjk", Ja, Jb, precision=_HI)
+
+    def shard_fn(x0, bfi_l, bfj_l, bmeas_l, bmask_l,
+                 lfi_l, lfj_l, lmeas_l, lmask_l):
+        def prior_r(x):
+            return se2.log_se2(
+                p_matmul(T_prior_inv, se2.T_from_pose(x[0]))) * inv_prior
+
+        def loop_blocks(rl, Jli=None, Jlj=None):
+            """Robust reweight + loop cost from (masked) loop residuals."""
+            if robust == "none":
+                return rl, Jli, Jlj, 0.5 * jnp.sum(rl * rl)
+            w, rho = _robust_w_rho(jnp.sum(rl * rl, axis=1), robust,
+                                   robust_delta)
+            sw = jnp.sqrt(w)[:, None]
+            if Jli is not None:
+                Jli = Jli * sw[..., None]
+                Jlj = Jlj * sw[..., None]
+            return rl * sw, Jli, Jlj, jnp.sum(rho)
+
+        def cost_at(x):
+            rb = jax.vmap(_factor_residual, in_axes=(0, 0, 0, None))(
+                x[bfi_l], x[bfj_l], bmeas_l, inv_btw)
+            rb = rb * bmask_l.astype(dtype)[:, None]
+            rl = jax.vmap(_factor_residual, in_axes=(0, 0, 0, None))(
+                x[lfi_l], x[lfj_l], lmeas_l, inv_loop)
+            rl = rl * lmask_l.astype(dtype)[:, None]
+            _, _, _, loop_cost = loop_blocks(rl)
+            cost_loc = 0.5 * jnp.sum(rb * rb) + loop_cost
+            rp = prior_r(x)
+            return jax.lax.psum(cost_loc, axis) + 0.5 * jnp.dot(rp, rp)
+
+        def linearize(x):
+            rb, (Jbi, Jbj) = _factor_r_and_J(x[bfi_l], x[bfj_l], bmeas_l,
+                                             inv_btw)
+            wb = bmask_l.astype(dtype)[:, None]
+            rb = rb * wb
+            Jbi = Jbi * wb[..., None]
+            Jbj = Jbj * wb[..., None]
+            rl, (Jli, Jlj) = _factor_r_and_J(x[lfi_l], x[lfj_l], lmeas_l,
+                                             inv_loop)
+            wl = lmask_l.astype(dtype)[:, None]
+            rl = rl * wl
+            Jli = Jli * wl[..., None]
+            Jlj = Jlj * wl[..., None]
+            rl, Jli, Jlj, loop_cost = loop_blocks(rl, Jli, Jlj)
+            cost_loc = 0.5 * jnp.sum(rb * rb) + loop_cost
+
+            g_loc = jnp.zeros((n, 3), dtype)
+            g_loc = g_loc.at[bfi_l].add(
+                jnp.einsum("bij,bi->bj", Jbi, rb, precision=_HI))
+            g_loc = g_loc.at[bfj_l].add(
+                jnp.einsum("bij,bi->bj", Jbj, rb, precision=_HI))
+            g_loc = g_loc.at[lfi_l].add(
+                jnp.einsum("bij,bi->bj", Jli, rl, precision=_HI))
+            g_loc = g_loc.at[lfj_l].add(
+                jnp.einsum("bij,bi->bj", Jlj, rl, precision=_HI))
+
+            # per-pose diagonal blocks from THIS shard's factors
+            D = jnp.zeros((n, 3, 3), dtype)
+            D = D.at[bfi_l].add(jtj(Jbi, Jbi))
+            D = D.at[bfj_l].add(jtj(Jbj, Jbj))
+            D = D.at[lfi_l].add(jtj(Jli, Jli))
+            D = D.at[lfj_l].add(jtj(Jlj, Jlj))
+
+            # off-diagonal pose-pair blocks M = H[r, c] (r > c, r - c <= G)
+            off_r = jnp.concatenate([bfj_l, lfj_l])
+            off_c = jnp.concatenate([bfi_l, lfi_l])
+            off_M = jnp.concatenate([jtj(Jbj, Jbi), jtj(Jlj, Jli)])
+
+            # scatter into super-block tridiagonal storage (the exact
+            # banded_solve scatter, minus lambda/prior/padding — those are
+            # added once, post-psum, from replicated values)
+            A_loc = jnp.zeros((n_sup, bs, bs), dtype).at[
+                s_all[:, None, None], (3 * o_all)[:, None, None] + ii,
+                (3 * o_all)[:, None, None] + jj].add(D)
+            s_r, o_r = off_r // G, off_r % G
+            s_c, o_c = off_c // G, off_c % G
+            same = (s_r == s_c)[:, None, None]
+            adj = (s_r == s_c + 1)[:, None, None]
+            MT = jnp.swapaxes(off_M, -1, -2)
+            A_loc = A_loc.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
+                             (3 * o_r)[:, None, None] + ii,
+                             (3 * o_c)[:, None, None] + jj].add(
+                jnp.where(same, off_M, 0.0))
+            A_loc = A_loc.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
+                             (3 * o_c)[:, None, None] + ii,
+                             (3 * o_r)[:, None, None] + jj].add(
+                jnp.where(same, MT, 0.0))
+            O_loc = jnp.zeros((max(n_sup - 1, 1), bs, bs), dtype)
+            O_loc = O_loc.at[jnp.where(adj[:, 0, 0], s_c, 0)[:, None, None],
+                             (3 * o_r)[:, None, None] + ii,
+                             (3 * o_c)[:, None, None] + jj].add(
+                jnp.where(adj, off_M, 0.0))
+
+            # ONE fused collective per LM iteration
+            return jax.lax.psum((A_loc, O_loc, g_loc, cost_loc), axis)
+
+        def step(state):
+            x, lam, cost, it, done, stalls = state
+            A_sup, O_sup, g, _ = linearize(x)
+            rp = prior_r(x)
+            Jp = jax.jacfwd(lambda p: se2.log_se2(
+                p_matmul(T_prior_inv, se2.T_from_pose(p))) * inv_prior)(x[0])
+            g = g.at[0].add(jnp.matmul(Jp.T, rp, precision=_HI))
+            A_sup = A_sup + lam * eye_live + eye_pad
+            A_sup = A_sup.at[0, 0:3, 0:3].add(_dot(Jp.T, Jp))
+            R_sup = jnp.zeros((n_sup, bs, 1), dtype).at[
+                s_all[:, None], (3 * o_all)[:, None] + ii[:, 0], 0].add(-g)
+            X = block_tridiag_solve(A_sup, O_sup[:n_sup - 1], R_sup, q=32)
+            dx = X.reshape(n_padded, 3)[:n]
+            x_new = x + dx
+            cost_new = cost_at(x_new)
+            accept = cost_new < cost
+            x = jnp.where(accept, x_new, x)
+            lam = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+            improved = (cost - cost_new) > cost_rtol * jnp.maximum(cost, 1.0)
+            converged = accept & ~improved
+            stalls = jnp.where(accept & improved, 0, stalls + 1)
+            done = converged | (stalls >= 3) | (lam > 1e10)
+            cost = jnp.where(accept, cost_new, cost)
+            return (x, lam, cost, it + 1, done, stalls)
+
+        def cond(state):
+            it, done = state[3], state[4]
+            return (~done) & (it < max_iters)
+
+        state = (x0, jnp.asarray(lambda_init, dtype), cost_at(x0),
+                 jnp.asarray(0), jnp.asarray(False), jnp.asarray(0))
+        x, lam, cost, it, _, _ = jax.lax.while_loop(cond, step, state)
+        return LMResult(poses=x, cost=cost, iterations=it, final_lambda=lam)
+
+    Pn = PartitionSpec()
+    Pa = PartitionSpec(axis)
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(Pn, Pa, Pa, Pa, Pa, Pa, Pa, Pa, Pa),
+        out_specs=LMResult(poses=Pn, cost=Pn, iterations=Pn,
+                           final_lambda=Pn),
+    )(poses0, bfi, bfj, bmeas, bmask, lfi, lfj, lmeas, lmask)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def optimize_trajectory(
     poses0: jnp.ndarray,

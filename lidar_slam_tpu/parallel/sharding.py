@@ -12,9 +12,13 @@ Design (new surface — the reference is single-threaded, SURVEY.md section 5):
     applies the reference's per-scan clip. This is exact — identical to the
     sequential reference semantics, because within-scan contributions are a
     pure sum.
-  - The pose-graph LM solve operates on (N, 3) poses — a few MB even at
-    100k poses — and runs replicated; its CG matvecs are chain-structured
-    and latency-bound, not a sharding target at this scale.
+  - The pose-graph LM shards the FACTOR axis (sharded_optimize_trajectory
+    -> models/pose_graph.optimize_sharded): poses replicate, each device
+    linearizes its shard of between + loop factors and scatters into a
+    local gradient + super-block banded Hessian, one fused psum per LM
+    iteration combines them, and the SPIKE solve + damping control flow
+    run replicated. The per-iteration cost is dominated by the batched
+    linearization (PERF.md pose-graph floor), which divides by D.
 """
 
 from __future__ import annotations
@@ -390,6 +394,40 @@ def sharded_pf_score(mesh: Mesh, map_cfg: MapConfig, axis: str = "dp"):
         return jax.lax.with_sharding_constraint(out, rep)
 
     return score
+
+
+def sharded_optimize_trajectory(mesh: Mesh, cfg=None, axis: str = "dp"):
+    """Return a jitted pose-graph optimizer sharding the FACTOR axis.
+
+    Signature matches models/pose_graph.optimize_trajectory:
+    (poses0 (N, 3), relative_poses (N-1, 3, 3), loop_i, loop_j, loop_meas,
+    loop_mask) -> LMResult. Poses replicate across the mesh; each device
+    linearizes its contiguous shard of between + loop factors and the
+    assembled banded Hessian + gradient combine with one fused psum per
+    LM iteration (models/pose_graph.optimize_sharded has the design and
+    exactness notes). BANDED fixed-interval graphs only — the pipeline's
+    graph shape (reference: main.py:158-161).
+    """
+    from ..config import PoseGraphConfig
+    from ..models import pose_graph as pg
+
+    if cfg is None:
+        cfg = PoseGraphConfig()
+
+    @jax.jit
+    def run(poses0, relative_poses, loop_i, loop_j, loop_meas, loop_mask):
+        graph = pg.make_graph(relative_poses, cfg, loop_i=loop_i,
+                              loop_j=loop_j, loop_meas=loop_meas,
+                              loop_mask=loop_mask)
+        return pg.optimize_sharded(
+            poses0, graph, mesh, axis=axis, max_iters=cfg.max_lm_iters,
+            lambda_init=cfg.lambda_init, lambda_up=cfg.lambda_up,
+            lambda_down=cfg.lambda_down, cost_rtol=cfg.cost_rtol,
+            band=cfg.fixed_interval,
+            robust=getattr(cfg, "robust_loss", "none"),
+            robust_delta=getattr(cfg, "robust_delta", 1.0))
+
+    return run
 
 
 def pad_batch(x: jnp.ndarray, multiple: int, axis: int = 0,
