@@ -99,6 +99,48 @@ def main():
     log(f"scan-parallel maps match the ray-sharded reference "
         f"(atol 1e-4): {same}")
 
+    # --- factor-sharded pose-graph LM (pose_graph.optimize_sharded) ---
+    # Same caveat as above: wall-clock on the timeshared mesh measures the
+    # sharding OVERHEAD trend (one fused psum of ~(n_sup, 30, 30) x 2 +
+    # (n, 3) per LM iteration), not speedup. The column that transfers is
+    # per-device factors linearized.
+    from lidar_slam_tpu.models import pose_graph as pg
+    from lidar_slam_tpu.utils import se2
+
+    log("--- factor-sharded pose-graph LM ---")
+    T_abs = se2.T_from_pose(poses)
+    rel = jnp.einsum("nij,njk->nik", se2.inverse_T(T_abs[:-1]), T_abs[1:])
+    li = jnp.arange(0, n_steps - 10, 10, dtype=jnp.int32)
+    lj = li + 10
+    lmeas = jnp.einsum("nij,njk->nik", se2.inverse_T(T_abs[li]), T_abs[lj])
+    lmask = jnp.ones(li.shape, bool)
+    x0 = poses + 0.05 * jnp.asarray(
+        rng.normal(0, 1, poses.shape), jnp.float32)
+    kw = dict(band=10, max_iters=15, cost_rtol=1e-9)
+    ref_pg = pg.optimize(x0, pg.make_graph(rel, loop_i=li, loop_j=lj,
+                                           loop_meas=lmeas, loop_mask=lmask),
+                         solver="banded", **kw)
+    same = True
+    n_fact = int(rel.shape[0]) + int(li.shape[0])
+    for n_dev in (1, 2, 4, 8):
+        m = mesh_lib.make_mesh(n_dev)
+        graph = pg.make_graph(rel, loop_i=li, loop_j=lj, loop_meas=lmeas,
+                              loop_mask=lmask)
+        run = jax.jit(lambda x, g=graph, mm=m: pg.optimize_sharded(
+            x, g, mm, **kw))
+        got = run(x0)  # compile + equality check on identical input
+        got.poses.block_until_ready()
+        same &= bool(jnp.abs(got.poses - ref_pg.poses).max() < 1e-4)
+        t0 = time.time()
+        got = run(x0 + 1e-6 * float(n_dev))
+        got.poses.block_until_ready()
+        dt = time.time() - t0
+        log(f"n_dev={n_dev}: {dt:6.2f}s wall (virtual mesh, 1 core) | "
+            f"per-device factors linearized/iter ~ {n_fact // n_dev:,} "
+            f"(of {n_fact:,}) | {int(got.iterations)} LM iters")
+    log(f"factor-sharded poses match the single-device banded solver "
+        f"(atol 1e-4): {same}")
+
 
 if __name__ == "__main__":
     main()
