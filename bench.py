@@ -379,6 +379,12 @@ def main():
         base_rgb = base_rng.integers(0, 255, (16, H, W, 3)).astype(np.uint8)
 
         disp_buf = np.empty_like(base_disp)
+        # loader_salt: bump per timed leg/attempt so REPEATED legs see
+        # fresh frame VALUES — the runtime memoizes value-identical
+        # uploads/computations, and a retry replaying identical bytes
+        # would measure a memoized no-op instead of the link (the same
+        # trap the probe comment below documents)
+        loader_salt = {"v": 0}
 
         def tex_loader(ids):
             b = len(ids)
@@ -390,7 +396,7 @@ def main():
             # (native projection, batch packing, dtype conversion) copies
             # or fully consumes the frames inside the same prep call, so
             # reuse is safe.
-            off = np.uint16(int(ids[0]) % 97)
+            off = np.uint16((int(ids[0]) + loader_salt["v"]) % 97)
             np.add(base_disp[:b], off, out=disp_buf[:b])
             return disp_buf[:b], base_rgb[:b]
 
@@ -463,9 +469,14 @@ def main():
             "upload)...")
         dev_ms = None
         for attempt in range(2):
+            # fresh VALUES per attempt (frames via the loader salt, poses
+            # perturbed): a value-identical retry would replay memoized
+            # uploads and record an impossibly fast leg
+            loader_salt["v"] = attempt + 1
             t0 = time.time()
             texture_mod.generate_texture_map(
-                tex_poses[:n_dev], frame_ids[:n_dev], frame_ids[:n_dev],
+                tex_poses[:n_dev] + np.float32(attempt) * 1e-3,
+                frame_ids[:n_dev], frame_ids[:n_dev],
                 tex_grid, tex_loader, cfg.map, cfg.camera, batch_size=16)
             leg = (time.time() - t0) / n_dev * 1e3
             dev_ms = leg if dev_ms is None else min(dev_ms, leg)
@@ -516,6 +527,7 @@ def main():
             # with the same code, so two reps can both land on bursts)
             rep_ms = []
             for rep in range(3):
+                loader_salt["v"] = 10 + rep  # fresh frame values per rep
                 p = tex_poses + np.float32(rep) * 1e-3
                 t0 = time.time()
                 texture_mod.generate_texture_map(

@@ -290,6 +290,74 @@ def block_tridiag_solve(A, O, R, q: int = 64):
     return X[:n]
 
 
+def _banded_scatter(n: int, band: int, dtype, D: jnp.ndarray,
+                    off_r: jnp.ndarray, off_c: jnp.ndarray,
+                    off_M: jnp.ndarray):
+    """Scatter per-pose (3, 3) diagonal blocks and off-diagonal pose-pair
+    blocks into super-block tridiagonal storage.
+
+    D (n, 3, 3): diagonal block of H for each pose. off_M (F, 3, 3) with
+    off_M[f] = H[off_r[f], off_c[f]], requiring off_r >= off_c and
+    off_r - off_c <= band (zero blocks at any index are harmless no-ops,
+    which is how masked/padded factors pass through). Returns
+    (A_sup (n_sup, 3*band, 3*band), O_sup (max(n_sup-1, 1), ...)); the
+    caller slices O_sup[:n_sup-1] before the solve and adds anything that
+    must count exactly once (lambda damping, the prior block, padded-tail
+    identity blocks) itself — banded_solve folds those into D up front,
+    optimize_sharded adds them after its cross-device psum.
+
+    Shared by the single-device banded_solve and the factor-sharded
+    optimize_sharded so the two exactness-coupled paths cannot drift.
+    """
+    G = band
+    bs = 3 * G
+    n_sup = -(-n // G)
+    ii = jnp.arange(3)[:, None]
+    jj = jnp.arange(3)[None, :]
+    s_all = jnp.arange(n) // G
+    o_all = jnp.arange(n) % G
+
+    A_sup = jnp.zeros((n_sup, bs, bs), dtype)
+    A_sup = A_sup.at[s_all[:, None, None],
+                     (3 * o_all)[:, None, None] + ii,
+                     (3 * o_all)[:, None, None] + jj].add(D)
+
+    s_r, o_r = off_r // G, off_r % G
+    s_c, o_c = off_c // G, off_c % G
+    same = (s_r == s_c)[:, None, None]
+    adj = (s_r == s_c + 1)[:, None, None]
+    MT = jnp.swapaxes(off_M, -1, -2)
+    # same-super entries land in A (both triangles)
+    A_sup = A_sup.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
+                     (3 * o_r)[:, None, None] + ii,
+                     (3 * o_c)[:, None, None] + jj].add(
+        jnp.where(same, off_M, 0.0))
+    A_sup = A_sup.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
+                     (3 * o_c)[:, None, None] + ii,
+                     (3 * o_r)[:, None, None] + jj].add(
+        jnp.where(same, MT, 0.0))
+    # adjacent-super entries land in O[s_c] = H[super s_c+1, super s_c];
+    # padded to length >= 1 so the masked scatter always has a valid row 0
+    # to dump zeros into (n <= band => n_sup == 1 => NO off-diagonals)
+    O_sup = jnp.zeros((max(n_sup - 1, 1), bs, bs), dtype)
+    O_sup = O_sup.at[jnp.where(adj[:, 0, 0], s_c, 0)[:, None, None],
+                     (3 * o_r)[:, None, None] + ii,
+                     (3 * o_c)[:, None, None] + jj].add(
+        jnp.where(adj, off_M, 0.0))
+    return A_sup, O_sup
+
+
+def _banded_rhs(g: jnp.ndarray, n: int, band: int, dtype) -> jnp.ndarray:
+    """-g scattered into (n_sup, 3*band, 1) super-block RHS storage
+    (padded-tail poses keep a zero RHS)."""
+    G = band
+    n_sup = -(-n // G)
+    s_all = jnp.arange(n) // G
+    o_all = jnp.arange(n) % G
+    return jnp.zeros((n_sup, 3 * G, 1), dtype).at[
+        s_all[:, None], (3 * o_all)[:, None] + jnp.arange(3), 0].add(-g)
+
+
 def _factor_residual(pose_i: jnp.ndarray, pose_j: jnp.ndarray,
                      meas: jnp.ndarray, inv_sigmas: jnp.ndarray) -> jnp.ndarray:
     """Whitened between-factor residual for one factor (3,)."""
@@ -603,7 +671,6 @@ def _optimize_jit(
         """
         Jp, Jbi, Jbj, Jli, Jlj = J
         G = band
-        bs = 3 * G
         n_sup = -(-n // G)
         n_padded = n_sup * G
         ii = jnp.arange(3)[:, None]
@@ -612,7 +679,8 @@ def _optimize_jit(
         def jtj(Ja, Jb):
             return jnp.einsum("bij,bik->bjk", Ja, Jb, precision=_HI)
 
-        # per-pose 3x3 diagonal blocks of H
+        # per-pose 3x3 diagonal blocks of H (damping + prior folded in —
+        # this path has no cross-device combine to defer them past)
         D = jnp.zeros((n, 3, 3), dtype) + lam * jnp.eye(3, dtype=dtype)
         D = D.at[0].add(_dot(Jp.T, Jp))
         D = D.at[idx_i].add(jtj(Jbi, Jbi))
@@ -625,13 +693,7 @@ def _optimize_jit(
         off_c = jnp.concatenate([idx_i, graph.loop_i])
         off_M = jnp.concatenate([jtj(Jbj, Jbi), jtj(Jlj, Jli)])
 
-        # scatter pose blocks into super-block tridiagonal storage
-        s_all = jnp.arange(n) // G
-        o_all = jnp.arange(n) % G
-        A_sup = jnp.zeros((n_sup, bs, bs), dtype)
-        A_sup = A_sup.at[s_all[:, None, None],
-                         (3 * o_all)[:, None, None] + ii,
-                         (3 * o_all)[:, None, None] + jj].add(D)
+        A_sup, O_sup = _banded_scatter(n, G, dtype, D, off_r, off_c, off_M)
         # padded tail poses: identity diagonal, zero coupling, zero rhs
         if n_padded != n:
             pad = jnp.arange(n, n_padded)
@@ -641,36 +703,8 @@ def _optimize_jit(
                 jnp.broadcast_to(jnp.eye(3, dtype=dtype),
                                  (n_padded - n, 3, 3)))
 
-        s_r, o_r = off_r // G, off_r % G
-        s_c, o_c = off_c // G, off_c % G
-        same = (s_r == s_c)[:, None, None]
-        adj = (s_r == s_c + 1)[:, None, None]
-        MT = jnp.swapaxes(off_M, -1, -2)
-        # same-super entries land in A (both triangles)
-        A_sup = A_sup.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
-                         (3 * o_r)[:, None, None] + ii,
-                         (3 * o_c)[:, None, None] + jj].add(
-            jnp.where(same, off_M, 0.0))
-        A_sup = A_sup.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
-                         (3 * o_c)[:, None, None] + ii,
-                         (3 * o_r)[:, None, None] + jj].add(
-            jnp.where(same, MT, 0.0))
-        # adjacent-super entries land in O[s_c] = H[super s_c+1, super s_c]
-        # padded to length >= 1 so the masked scatter below always has a
-        # valid row 0 to dump zeros into; sliced to the true n_sup - 1
-        # before the solve (n <= band => n_sup == 1 => NO off-diagonals)
-        O_sup = jnp.zeros((max(n_sup - 1, 1), bs, bs), dtype)
-        O_sup = O_sup.at[jnp.where(adj[:, 0, 0], s_c, 0)[:, None, None],
-                         (3 * o_r)[:, None, None] + ii,
-                         (3 * o_c)[:, None, None] + jj].add(
-            jnp.where(adj, off_M, 0.0))
-        O_sup = O_sup[:n_sup - 1]
-
-        R_sup = jnp.zeros((n_sup, bs, 1), dtype)
-        R_sup = R_sup.at[s_all[:, None], (3 * o_all)[:, None] + ii[:, 0],
-                         0].add(-g)
-
-        X = block_tridiag_solve(A_sup, O_sup, R_sup, q=32)
+        R_sup = _banded_rhs(g, n, G, dtype)
+        X = block_tridiag_solve(A_sup, O_sup[:n_sup - 1], R_sup, q=32)
         return X.reshape(n_padded, 3)[:n]
 
     def step(state):
@@ -931,30 +965,12 @@ def optimize_sharded(
             off_c = jnp.concatenate([bfi_l, lfi_l])
             off_M = jnp.concatenate([jtj(Jbj, Jbi), jtj(Jlj, Jli)])
 
-            # scatter into super-block tridiagonal storage (the exact
-            # banded_solve scatter, minus lambda/prior/padding — those are
-            # added once, post-psum, from replicated values)
-            A_loc = jnp.zeros((n_sup, bs, bs), dtype).at[
-                s_all[:, None, None], (3 * o_all)[:, None, None] + ii,
-                (3 * o_all)[:, None, None] + jj].add(D)
-            s_r, o_r = off_r // G, off_r % G
-            s_c, o_c = off_c // G, off_c % G
-            same = (s_r == s_c)[:, None, None]
-            adj = (s_r == s_c + 1)[:, None, None]
-            MT = jnp.swapaxes(off_M, -1, -2)
-            A_loc = A_loc.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
-                             (3 * o_r)[:, None, None] + ii,
-                             (3 * o_c)[:, None, None] + jj].add(
-                jnp.where(same, off_M, 0.0))
-            A_loc = A_loc.at[jnp.where(same[:, 0, 0], s_r, 0)[:, None, None],
-                             (3 * o_c)[:, None, None] + ii,
-                             (3 * o_r)[:, None, None] + jj].add(
-                jnp.where(same, MT, 0.0))
-            O_loc = jnp.zeros((max(n_sup - 1, 1), bs, bs), dtype)
-            O_loc = O_loc.at[jnp.where(adj[:, 0, 0], s_c, 0)[:, None, None],
-                             (3 * o_r)[:, None, None] + ii,
-                             (3 * o_c)[:, None, None] + jj].add(
-                jnp.where(adj, off_M, 0.0))
+            # the SHARED super-block scatter (_banded_scatter — the same
+            # helper banded_solve calls, so the two exactness-coupled
+            # paths cannot drift), minus lambda/prior/padding: those are
+            # added once, post-psum, from replicated values
+            A_loc, O_loc = _banded_scatter(n, G, dtype, D, off_r, off_c,
+                                           off_M)
 
             # ONE fused collective per LM iteration
             return jax.lax.psum((A_loc, O_loc, g_loc, cost_loc), axis)
@@ -968,8 +984,7 @@ def optimize_sharded(
             g = g.at[0].add(jnp.matmul(Jp.T, rp, precision=_HI))
             A_sup = A_sup + lam * eye_live + eye_pad
             A_sup = A_sup.at[0, 0:3, 0:3].add(_dot(Jp.T, Jp))
-            R_sup = jnp.zeros((n_sup, bs, 1), dtype).at[
-                s_all[:, None], (3 * o_all)[:, None] + ii[:, 0], 0].add(-g)
+            R_sup = _banded_rhs(g, n, G, dtype)
             X = block_tridiag_solve(A_sup, O_sup[:n_sup - 1], R_sup, q=32)
             dx = X.reshape(n_padded, 3)[:n]
             x_new = x + dx

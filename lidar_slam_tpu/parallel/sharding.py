@@ -408,6 +408,8 @@ def sharded_optimize_trajectory(mesh: Mesh, cfg=None, axis: str = "dp"):
     exactness notes). BANDED fixed-interval graphs only — the pipeline's
     graph shape (reference: main.py:158-161).
     """
+    import numpy as np
+
     from ..config import PoseGraphConfig
     from ..models import pose_graph as pg
 
@@ -415,7 +417,8 @@ def sharded_optimize_trajectory(mesh: Mesh, cfg=None, axis: str = "dp"):
         cfg = PoseGraphConfig()
 
     @jax.jit
-    def run(poses0, relative_poses, loop_i, loop_j, loop_meas, loop_mask):
+    def _run_jit(poses0, relative_poses, loop_i, loop_j, loop_meas,
+                 loop_mask):
         graph = pg.make_graph(relative_poses, cfg, loop_i=loop_i,
                               loop_j=loop_j, loop_meas=loop_meas,
                               loop_mask=loop_mask)
@@ -426,6 +429,25 @@ def sharded_optimize_trajectory(mesh: Mesh, cfg=None, axis: str = "dp"):
             band=cfg.fixed_interval,
             robust=getattr(cfg, "robust_loss", "none"),
             robust_delta=getattr(cfg, "robust_delta", 1.0))
+
+    def run(poses0, relative_poses, loop_i, loop_j, loop_meas, loop_mask):
+        # the banded-only span guard must run HERE, on concrete values:
+        # inside the jit the indices are tracers and optimize_sharded's
+        # own guard is skipped, so without this check wide/reversed arcs
+        # would silently drop their Hessian coupling blocks
+        band = cfg.fixed_interval
+        live = np.asarray(loop_mask).astype(bool)
+        if live.any():
+            span = (np.asarray(loop_j) - np.asarray(loop_i))[live]
+            if int(span.max()) > band or int(span.min()) < 0:
+                raise ValueError(
+                    f"sharded_optimize_trajectory is banded-only: loop "
+                    f"spans must lie in [0, band={band}], got "
+                    f"[{int(span.min())}, {int(span.max())}] — use the "
+                    "single-device solver='direct' path for wide or "
+                    "reversed arcs")
+        return _run_jit(poses0, relative_poses, loop_i, loop_j, loop_meas,
+                        loop_mask)
 
     return run
 

@@ -572,7 +572,10 @@ def test_sharded_pose_graph_trajectory_wrapper_and_robust():
 def test_sharded_pose_graph_rejects_wide_arcs():
     """Banded-only guard: a loop arc wider than the band raises instead of
     silently dropping Hessian blocks (optimize() falls back to 'direct';
-    the sharded path has no Woodbury panel to fall back to)."""
+    the sharded path has no Woodbury panel to fall back to). BOTH entry
+    points must guard: optimize_sharded eagerly, and the jitted wrapper
+    host-side BEFORE tracing (inside the jit the indices are tracers and
+    the inner guard is skipped)."""
     from lidar_slam_tpu.models import pose_graph as pg
 
     rng = np.random.default_rng(7)
@@ -583,3 +586,15 @@ def test_sharded_pose_graph_rejects_wide_arcs():
     m = mesh_lib.make_mesh(8)
     with pytest.raises(ValueError, match="banded-only"):
         pg.optimize_sharded(poses0, graph, m, band=10)
+
+    # the production wrapper path (everything inside its jit is a tracer,
+    # so the guard must run on concrete values before the jitted call)
+    from lidar_slam_tpu.config import PoseGraphConfig
+    run = sharding.sharded_optimize_trajectory(
+        m, PoseGraphConfig(solver="banded", fixed_interval=10))
+    with pytest.raises(ValueError, match="banded-only"):
+        run(poses0, rel, li, lj, lmeas, lmask)
+    # a gated-out wide arc is fine — the guard looks at LIVE arcs only
+    lmask2 = lmask.at[0].set(False)
+    res = run(poses0, rel, li, lj, lmeas, lmask2)
+    assert bool(jnp.isfinite(res.poses).all())
