@@ -598,3 +598,29 @@ def test_sharded_pose_graph_rejects_wide_arcs():
     lmask2 = lmask.at[0].set(False)
     res = run(poses0, rel, li, lj, lmeas, lmask2)
     assert bool(jnp.isfinite(res.poses).all())
+
+
+def test_sharded_pose_graph_no_loops_and_f64():
+    """The Lf=0 padding branch (no loop factors -> one all-masked pad
+    shard per device) and dtype generality: a chain-only f32 graph and
+    the same graph in f64 both match the single-device banded solver."""
+    from lidar_slam_tpu.models import pose_graph as pg
+
+    rng = np.random.default_rng(11)
+    poses0, rel, _ = _pg_problem(rng, 41)
+    m = mesh_lib.make_mesh(8)
+    kw = dict(band=10, max_iters=30, cost_rtol=1e-9)
+
+    graph = pg.make_graph(rel)  # no loops at all
+    ref = pg.optimize(poses0, graph, solver="banded", **kw)
+    got = pg.optimize_sharded(poses0, graph, m, **kw)
+    np.testing.assert_allclose(np.asarray(got.poses), np.asarray(ref.poses),
+                               atol=2e-5)
+
+    poses64 = poses0.astype(jnp.float64)
+    graph64 = pg.make_graph(rel.astype(jnp.float64))
+    ref64 = pg.optimize(poses64, graph64, solver="banded", **kw)
+    got64 = pg.optimize_sharded(poses64, graph64, m, **kw)
+    assert got64.poses.dtype == ref64.poses.dtype
+    np.testing.assert_allclose(np.asarray(got64.poses),
+                               np.asarray(ref64.poses), atol=1e-9)
